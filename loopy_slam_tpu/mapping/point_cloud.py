@@ -1,0 +1,197 @@
+"""Neural point cloud: fixed-capacity buffers with masked insertion.
+
+TPU-native re-design of the reference NeuralPointCloud
+(src/neural_point.py:30-1786). The reference grows Python lists + a faiss
+index inside an RPC server process; here the map is a pytree of
+fixed-capacity HBM arrays with a jittable insertion kernel and a
+spatial-hash index (ops/knn.py), so tracking/mapping touch it as plain
+array inputs — no RPC, no host round-trips on the hot path.
+
+Insertion semantics match add_neural_points (neural_point.py:1557-1631):
+candidate surface points (ray origin + dir * depth) are gated on having
+ZERO existing neighbors within radius_add (radius_min for color-gradient
+picks), and each surviving location contributes N_add=3 points stratified
+along its ray in [near_end_surface*d, far_end_surface*d], with N(0, 0.1)
+feature initialization. The sensor-space "input cloud" (used for final PLY
+export and submap registration) is accumulated in a parallel buffer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import knn
+
+
+class MapOptions(NamedTuple):
+    """Static point-cloud configuration (hashable, from YAML pointcloud.*)."""
+
+    capacity: int = 2 ** 19
+    input_capacity: int = 2 ** 19
+    c_dim: int = 32
+    nn_num: int = 8
+    N_add: int = 3
+    radius_add: float = 0.04
+    radius_min: float = 0.02
+    radius_query: float = 0.08
+    near_end_surface: float = 0.98
+    far_end_surface: float = 1.02
+    fix_interval_when_add_along_ray: bool = False
+    cell_size: float = 0.08
+    table_size: int = 2 ** 20
+    max_per_cell: int = 16
+
+    @staticmethod
+    def from_cfg(cfg):
+        pc = cfg["pointcloud"]
+        # Cell edge must cover the largest query radius so the 3x3x3 stencil
+        # is exact (dynamic radius can reach radius_query_ratio*radius_add_max).
+        if cfg["use_dynamic_radius"]:
+            cell = float(pc["radius_query_ratio"] * pc["radius_add_max"])
+        else:
+            cell = float(pc["radius_query"])
+        return MapOptions(
+            capacity=int(pc["capacity"]),
+            input_capacity=int(pc.get("input_capacity", pc["capacity"])),
+            c_dim=int(cfg["model"]["c_dim"]),
+            nn_num=int(pc["nn_num"]),
+            N_add=int(pc["N_add"]),
+            radius_add=float(pc["radius_add"]),
+            radius_min=float(pc["radius_min"]),
+            radius_query=float(pc["radius_query"]),
+            near_end_surface=float(pc["near_end_surface"]),
+            far_end_surface=float(pc["far_end_surface"]),
+            fix_interval_when_add_along_ray=bool(
+                pc["fix_interval_when_add_along_ray"]),
+            cell_size=cell,
+            table_size=int(pc["cell_table_size"]),
+            max_per_cell=int(pc["max_per_cell"]),
+        )
+
+
+class MapState(NamedTuple):
+    """All mutable map arrays (a pytree; donate/carry through jitted steps)."""
+
+    pos: jnp.ndarray        # (cap, 3) neural point positions
+    geo: jnp.ndarray        # (cap, c_dim) geometry features
+    col: jnp.ndarray        # (cap, c_dim) color features
+    count: jnp.ndarray      # () int32 valid prefix length
+    grid: knn.HashGrid      # spatial-hash index over pos[:count]
+    in_pos: jnp.ndarray     # (in_cap, 3) sensor-space input cloud
+    in_rgb: jnp.ndarray     # (in_cap, 3) input cloud colors in [0,1]
+    in_count: jnp.ndarray   # () int32
+
+
+def init_map(opts: MapOptions) -> MapState:
+    cap, c = opts.capacity, opts.c_dim
+    pos = jnp.zeros((cap, 3), jnp.float32)
+    valid = jnp.zeros((cap,), bool)
+    return MapState(
+        pos=pos,
+        geo=jnp.zeros((cap, c), jnp.float32),
+        col=jnp.zeros((cap, c), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+        grid=knn.build(pos, valid, opts.cell_size, opts.table_size),
+        in_pos=jnp.zeros((opts.input_capacity, 3), jnp.float32),
+        in_rgb=jnp.zeros((opts.input_capacity, 3), jnp.float32),
+        in_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def valid_mask(state: MapState) -> jnp.ndarray:
+    return jnp.arange(state.pos.shape[0]) < state.count
+
+
+def add_points(state: MapState, opts: MapOptions, key,
+               rays_o, rays_d, gt_depth, gt_color, cand_valid,
+               dynamic_r_add=None, is_pts_grad=False) -> Tuple[MapState, jnp.ndarray]:
+    """Masked point insertion (jittable). Returns (new_state, n_locations).
+
+    Mirrors add_neural_points (neural_point.py:1557-1631): gate on zero
+    neighbors within the add radius, spawn N_add points per gated location
+    stratified along the ray, init features N(0, 0.1), rebuild the index.
+    """
+    A = rays_o.shape[0]
+    cap = opts.capacity
+    cand_valid = cand_valid & (gt_depth > 0)
+    pts_gt = rays_o + rays_d * gt_depth[:, None]
+
+    r_add = opts.radius_min if is_pts_grad else opts.radius_add
+    if dynamic_r_add is not None:
+        r_add = dynamic_r_add
+    _, _, nn_count = knn.query(state.grid, state.pos, pts_gt, opts.nn_num,
+                               r_add, opts.table_size, opts.max_per_cell)
+    gate = cand_valid & (nn_count == 0)
+
+    # stratified points along the ray around the depth reading
+    if opts.fix_interval_when_add_along_ray:
+        z = gt_depth[:, None] + jnp.linspace(-0.04, 0.04, opts.N_add)
+    else:
+        t = jnp.linspace(0.0, 1.0, opts.N_add)
+        d = gt_depth[:, None]
+        z = opts.near_end_surface * d * (1.0 - t) + opts.far_end_surface * d * t
+    new_pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]  # (A,N,3)
+
+    # compacting scatter: location a -> slots base[a] .. base[a]+N_add-1
+    slot_rank = jnp.cumsum(gate.astype(jnp.int32)) - 1  # rank among gated
+    base = state.count + slot_rank * opts.N_add
+    gate = gate & (base + opts.N_add <= cap)
+    dest = base[:, None] + jnp.arange(opts.N_add, dtype=jnp.int32)  # (A,N)
+    dest = jnp.where(gate[:, None], dest, cap)  # out-of-range -> dropped
+
+    pos = state.pos.at[dest.reshape(-1)].set(
+        new_pts.reshape(-1, 3), mode="drop")
+    kg, kc = jax.random.split(key)
+    n_new = A * opts.N_add
+    geo_init = 0.1 * jax.random.normal(kg, (n_new, opts.c_dim))
+    col_init = 0.1 * jax.random.normal(kc, (n_new, opts.c_dim))
+    geo = state.geo.at[dest.reshape(-1)].set(geo_init, mode="drop")
+    col = state.col.at[dest.reshape(-1)].set(col_init, mode="drop")
+    n_loc = jnp.sum(gate).astype(jnp.int32)
+    count = state.count + n_loc * opts.N_add
+
+    # input (sensor) cloud: one point per gated location
+    in_rank = state.in_count + slot_rank
+    in_dest = jnp.where(gate & (in_rank < opts.input_capacity), in_rank,
+                        opts.input_capacity)
+    in_pos = state.in_pos.at[in_dest].set(pts_gt, mode="drop")
+    in_rgb = state.in_rgb.at[in_dest].set(gt_color, mode="drop")
+    in_count = jnp.minimum(state.in_count + n_loc, opts.input_capacity)
+
+    grid = knn.build(pos, jnp.arange(cap) < count, opts.cell_size,
+                     opts.table_size)
+    return MapState(pos=pos, geo=geo, col=col, count=count, grid=grid,
+                    in_pos=in_pos, in_rgb=in_rgb, in_count=in_count), n_loc
+
+
+def sample_near_pcl_z_vals(state: MapState, opts: MapOptions,
+                           rays_o, rays_d, near, far, num: int):
+    """z-vals for zero-depth rays, biased to where the point cloud lives.
+
+    Matches neural_point.sample_near_pcl (neural_point.py:1734-1786): probe
+    25 depths per ray, find the first two probe depths with any in-radius
+    neighbor, and place `num` samples between them; rays with fewer than two
+    occupied probes fall back to uniform [near, far] and are flagged invalid.
+    """
+    R = rays_o.shape[0]
+    intervals = 25
+    z_probe = jnp.linspace(near, far, intervals)
+    pts = (rays_o[:, None, :] + rays_d[:, None, :] * z_probe[None, :, None]
+           ).reshape(-1, 3)
+    _, _, nn_count = knn.query(state.grid, state.pos, pts, opts.nn_num,
+                               opts.radius_query, opts.table_size,
+                               opts.max_per_cell)
+    occupied = (nn_count > 0).reshape(R, intervals)
+    n_occ = jnp.sum(occupied, axis=-1)
+    invalid = n_occ < 2
+    first = jnp.argmax(occupied, axis=-1)
+    occupied2 = occupied.at[jnp.arange(R), first].set(False)
+    second = jnp.argmax(occupied2, axis=-1)
+    z0 = jnp.where(invalid, near, z_probe[first])
+    z1 = jnp.where(invalid, far, z_probe[second])
+    t = jnp.linspace(0.0, 1.0, num)
+    z_vals = z0[:, None] * (1.0 - t) + z1[:, None] * t
+    return z_vals, invalid

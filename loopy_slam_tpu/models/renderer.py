@@ -1,0 +1,177 @@
+"""Fused ray renderer: z-vals -> k-NN -> feature interp -> MLPs -> composite.
+
+TPU-native equivalent of the reference render path
+(src/utils/Renderer.py:71-201 + decoder get_feature_at_pos): one jittable
+function evaluates a whole ray batch with static shapes. The single k-NN
+query is shared by the geometry and color decoders (the reference issues
+two identical faiss searches per batch, decoder.py:186 and :437 — same
+query points, same radius — so sharing is exact, and halves the hot-path
+index traffic).
+
+Gradient routing falls out of JAX autodiff instead of the reference's
+is_tracker flag: squared distances are always recomputed differentiably
+from gathered neighbor positions (identical values to the faiss distances),
+so pose gradients flow through sample positions when the pose is an input
+being differentiated, and feature gradients flow through the gathered
+features when those are differentiated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import knn
+from ..ops.compositing import composite
+from ..ops.sampling import surface_z_vals, pixels_to_points
+from .decoder import (
+    col_forward,
+    exposure_affine,
+    geo_forward,
+    interp_weights,
+    interpolate_features,
+    neighbor_transform,
+)
+
+
+class RenderOptions(NamedTuple):
+    """Static (hashable) rendering configuration, from the YAML config."""
+
+    n_surface: int = 5
+    near_end: float = 0.3
+    near_end_surface: float = 0.98
+    far_end_surface: float = 1.02
+    sigmoid_coef: float = 0.1
+    sample_near_pcl: bool = False
+    nn_num: int = 8
+    min_nn_num: int = 2
+    radius_query: float = 0.08
+    table_size: int = 2 ** 20
+    max_per_cell: int = 16
+    weighting: str = "distance"
+    c_dim: int = 32
+    encode_rel_pos_in_col: bool = True
+    use_view_direction: bool = False
+    encode_viewd: bool = True
+    encode_exposure: bool = False
+
+    @staticmethod
+    def from_cfg(cfg, sigmoid_coef=None):
+        return RenderOptions(
+            n_surface=cfg["rendering"]["N_surface"],
+            near_end=cfg["rendering"]["near_end"],
+            near_end_surface=cfg["rendering"]["near_end_surface"],
+            far_end_surface=cfg["rendering"]["far_end_surface"],
+            sigmoid_coef=(sigmoid_coef if sigmoid_coef is not None
+                          else cfg["rendering"]["sigmoid_coef_mapper"]),
+            sample_near_pcl=cfg["rendering"]["sample_near_pcl"],
+            nn_num=cfg["pointcloud"]["nn_num"],
+            min_nn_num=cfg["pointcloud"]["min_nn_num"],
+            radius_query=cfg["pointcloud"]["radius_query"],
+            table_size=cfg["pointcloud"]["cell_table_size"],
+            max_per_cell=cfg["pointcloud"]["max_per_cell"],
+            weighting=cfg["pointcloud"]["nn_weighting"],
+            c_dim=cfg["model"]["c_dim"],
+            encode_rel_pos_in_col=cfg["model"]["encode_rel_pos_in_col"],
+            use_view_direction=cfg["use_view_direction"],
+            encode_viewd=cfg["model"]["encode_viewd"],
+            encode_exposure=cfg["model"]["encode_exposure"],
+        )
+
+
+def eval_points(params, map_pos, grid, geo_feats, col_feats, pts, key,
+                opts: RenderOptions, stage: str, views_d=None,
+                r_query=None, exposure_feat=None):
+    """Decode occupancy (and color) at arbitrary sample positions (N, 3).
+
+    Returns (occ_logits(N,), rgb(N,3), has_neighbors(N,)).
+    rgb is post-sigmoid unless encode_exposure with exposure_feat=None (the
+    mapper's deferred-exposure path, reference Mapper.py:696-715).
+    """
+    n = pts.shape[0]
+    rq = opts.radius_query if r_query is None else r_query
+    D_idx, I, nn_count = knn.query(
+        grid, map_pos, jax.lax.stop_gradient(pts), opts.nn_num, rq,
+        opts.table_size, opts.max_per_cell)
+    neighbor_pos = map_pos[I]  # (N, k, 3)
+    diff = jax.lax.stop_gradient(neighbor_pos) - pts[:, None, :]
+    D = jnp.sum(diff * diff, axis=-1)
+    # empty candidate slots -> out-of-radius marker (reference uses 1e4,
+    # decoder.py:198)
+    D = jnp.where(D_idx < 1e9, D, 1e4)
+
+    r2_bound = (jnp.asarray(rq) ** 2)
+    if r2_bound.ndim == 1:
+        r2_bound = r2_bound[:, None]
+    w = interp_weights(D, r2_bound, opts.weighting)
+    has_neighbors = nn_count >= opts.min_nn_num
+
+    kg, kc = jax.random.split(key)
+    c_geo = interpolate_features(geo_feats[I], w, has_neighbors, kg, opts.c_dim)
+    occ = geo_forward(params["geo"], pts, c_geo)
+    occ = jnp.where(has_neighbors, occ, -100.0)
+
+    if stage == "geometry":
+        return occ, jnp.zeros((n, 3), pts.dtype), has_neighbors
+
+    feats = col_feats[I]
+    if opts.encode_rel_pos_in_col:
+        rel = jax.lax.stop_gradient(neighbor_pos) - pts[:, None, :]
+        feats = neighbor_transform(params["col"], feats, rel)
+    c_col = interpolate_features(feats, w, has_neighbors, kc, opts.c_dim)
+    rgb = col_forward(params["col"], pts, c_col, views_d,
+                      opts.use_view_direction, opts.encode_viewd)
+    if opts.encode_exposure:
+        if exposure_feat is not None:
+            rot, trans = exposure_affine(params["col"], exposure_feat)
+            rgb = jax.nn.sigmoid(rgb @ rot + trans)
+        # else: defer exposure+sigmoid to the caller (mapper color stage)
+    else:
+        rgb = jax.nn.sigmoid(rgb)
+    return occ, rgb, has_neighbors
+
+
+def render_batch_ray(params, map_pos, grid, geo_feats, col_feats,
+                     rays_o, rays_d, gt_depth, ray_valid, key,
+                     opts: RenderOptions, stage: str,
+                     r_query=None, exposure_feat=None,
+                     z_vals_override=None):
+    """Render a fixed-size batch of rays.
+
+    Args mirror reference Renderer.render_batch_ray (Renderer.py:71-201),
+    with `ray_valid` carrying what the reference expressed via boolean
+    compaction. `r_query` is a scalar or per-ray radius (dynamic radius).
+    `z_vals_override` lets the caller substitute sample-near-pcl z-vals for
+    zero-depth rays.
+
+    Returns (depth, depth_var, color, valid_ray_mask) each (R, ...).
+    """
+    R = rays_o.shape[0]
+    S = opts.n_surface
+    z_vals = surface_z_vals(gt_depth, ray_valid, S, opts.near_end_surface,
+                            opts.far_end_surface, opts.near_end)
+    if z_vals_override is not None:
+        z_vals = jnp.where((gt_depth > 0)[:, None], z_vals, z_vals_override)
+    pts = pixels_to_points(rays_o, rays_d, z_vals).reshape(-1, 3)
+
+    views_d = None
+    if opts.use_view_direction:
+        views_d = jnp.repeat(rays_d, S, axis=0)
+    rq = None
+    if r_query is not None:
+        rq = jnp.repeat(jnp.asarray(r_query).reshape(-1), S, axis=0)
+
+    occ, rgb, has_neighbors = eval_points(
+        params, map_pos, grid, geo_feats, col_feats, pts, key, opts, stage,
+        views_d=views_d, r_query=rq, exposure_feat=exposure_feat)
+
+    valid_ray = (
+        jnp.sum(has_neighbors.reshape(R, S), axis=-1) >= (S // 2 + 1)
+    )
+    depth, depth_var, color, _ = composite(
+        rgb.reshape(R, S, 3), occ.reshape(R, S), z_vals, opts.sigmoid_coef)
+    if not opts.sample_near_pcl:
+        depth = jnp.where(gt_depth > 0, depth, 0.0)
+    return depth, depth_var, color, valid_ray

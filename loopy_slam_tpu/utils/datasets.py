@@ -1,0 +1,293 @@
+"""RGBD dataset loaders: Replica, ScanNet, TUM-RGBD, Azure, CoFusion, plus a
+procedural Synthetic dataset for tests/benchmarks with no downloads.
+
+Behavioral parity with reference src/utils/datasets.py:47-340:
+  * __getitem__ -> (index, color float HxWx3 in [0,1] RGB, depth float HxW
+    in meters, gt c2w 4x4) — numpy arrays here (the host feeds device arrays
+    explicitly; no torch DataLoader).
+  * every loader flips the Y and Z columns of c2w (OpenGL convention).
+  * color undistortion (not depth), crop_size resize, crop_edge cropping.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ..ops.camera import rot_to_quat  # noqa: F401  (re-export convenience)
+
+
+def as_intrinsics_matrix(intr) -> np.ndarray:
+    K = np.eye(3)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = intr
+    return K
+
+
+class BaseDataset:
+    def __init__(self, cfg, input_folder: Optional[str] = None):
+        self.name = cfg["dataset"]
+        self.png_depth_scale = cfg["cam"]["png_depth_scale"]
+        cam = cfg["cam"]
+        self.H, self.W = cam["H"], cam["W"]
+        self.fx, self.fy = cam["fx"], cam["fy"]
+        self.cx, self.cy = cam["cx"], cam["cy"]
+        self.distortion = (np.array(cam["distortion"])
+                           if "distortion" in cam else None)
+        self.crop_size = cam.get("crop_size")
+        self.crop_edge = cam["crop_edge"]
+        self.input_folder = input_folder or cfg["data"]["input_folder"]
+        self.color_paths: List[str] = []
+        self.depth_paths: List[str] = []
+        self.poses: List[np.ndarray] = []
+        self.n_img = 0
+
+    def __len__(self):
+        return self.n_img
+
+    def _read_depth(self, path: str) -> np.ndarray:
+        if path.endswith(".png"):
+            d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        else:
+            raise ValueError(f"unsupported depth format: {path}")
+        return d.astype(np.float32) / self.png_depth_scale
+
+    def __getitem__(self, index: int):
+        color = cv2.imread(self.color_paths[index])
+        depth = self._read_depth(self.depth_paths[index])
+        if self.distortion is not None:
+            K = as_intrinsics_matrix([self.fx, self.fy, self.cx, self.cy])
+            color = cv2.undistort(color, K, self.distortion)
+        color = cv2.cvtColor(color, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        H, W = depth.shape
+        color = cv2.resize(color, (W, H)).astype(np.float32)
+        if self.crop_size is not None:
+            ch, cw = self.crop_size
+            color = cv2.resize(color, (cw, ch), interpolation=cv2.INTER_LINEAR)
+            depth = cv2.resize(depth, (cw, ch), interpolation=cv2.INTER_NEAREST)
+        e = self.crop_edge
+        if e > 0:
+            color = color[e:-e, e:-e]
+            depth = depth[e:-e, e:-e]
+        return index, color, depth, self.poses[index].astype(np.float32)
+
+
+def _flip_yz(c2w: np.ndarray) -> np.ndarray:
+    c2w = c2w.copy()
+    c2w[:3, 1] *= -1
+    c2w[:3, 2] *= -1
+    return c2w
+
+
+class Replica(BaseDataset):
+    def __init__(self, cfg, input_folder=None):
+        super().__init__(cfg, input_folder)
+        self.color_paths = sorted(
+            glob.glob(f"{self.input_folder}/results/frame*.jpg"))
+        self.depth_paths = sorted(
+            glob.glob(f"{self.input_folder}/results/depth*.png"))
+        self.n_img = len(self.color_paths)
+        with open(f"{self.input_folder}/traj.txt") as f:
+            lines = f.readlines()
+        self.poses = [
+            _flip_yz(np.array(list(map(float, lines[i].split()))).reshape(4, 4))
+            for i in range(self.n_img)
+        ]
+
+
+class ScanNet(BaseDataset):
+    def __init__(self, cfg, input_folder=None):
+        super().__init__(cfg, input_folder)
+        base = os.path.join(self.input_folder, "frames")
+        key = lambda x: int(os.path.basename(x).split(".")[0])  # noqa: E731
+        self.color_paths = sorted(glob.glob(os.path.join(base, "color", "*.jpg")), key=key)
+        self.depth_paths = sorted(glob.glob(os.path.join(base, "depth", "*.png")), key=key)
+        self.n_img = len(self.color_paths)
+        for p in sorted(glob.glob(os.path.join(base, "pose", "*.txt")), key=key):
+            self.poses.append(_flip_yz(np.loadtxt(p).reshape(4, 4)))
+
+
+class Azure(BaseDataset):
+    def __init__(self, cfg, input_folder=None):
+        super().__init__(cfg, input_folder)
+        self.color_paths = sorted(glob.glob(os.path.join(self.input_folder, "color", "*.jpg")))
+        self.depth_paths = sorted(glob.glob(os.path.join(self.input_folder, "depth", "*.png")))
+        self.n_img = len(self.color_paths)
+        traj = os.path.join(self.input_folder, "scene", "trajectory.log")
+        if os.path.exists(traj):
+            with open(traj) as f:
+                content = f.readlines()
+            for i in range(0, len(content), 5):
+                c2w = np.array(list(map(float, ("".join(content[i + 1:i + 5])).split()))).reshape(4, 4)
+                self.poses.append(_flip_yz(c2w))
+        else:
+            self.poses = [np.eye(4) for _ in range(self.n_img)]
+
+
+class CoFusion(BaseDataset):
+    def __init__(self, cfg, input_folder=None):
+        super().__init__(cfg, input_folder)
+        self.color_paths = sorted(glob.glob(os.path.join(self.input_folder, "colour", "*.png")))
+        self.depth_paths = sorted(glob.glob(os.path.join(self.input_folder, "depth_noise", "*.exr")))
+        self.n_img = len(self.color_paths)
+        self.poses = [np.eye(4) for _ in range(self.n_img)]
+
+
+class TUM_RGBD(BaseDataset):
+    def __init__(self, cfg, input_folder=None):
+        super().__init__(cfg, input_folder)
+        self.color_paths, self.depth_paths, self.poses = self._load(
+            self.input_folder, frame_rate=32)
+        self.n_img = len(self.color_paths)
+
+    @staticmethod
+    def _parse_list(path, skiprows=0):
+        return np.loadtxt(path, delimiter=" ", dtype=np.str_, skiprows=skiprows)
+
+    @staticmethod
+    def _associate(t_img, t_depth, t_pose, max_dt=0.08):
+        out = []
+        for i, t in enumerate(t_img):
+            j = np.argmin(np.abs(t_depth - t))
+            k = np.argmin(np.abs(t_pose - t))
+            if abs(t_depth[j] - t) < max_dt and abs(t_pose[k] - t) < max_dt:
+                out.append((i, j, k))
+        return out
+
+    def _load(self, datapath, frame_rate=-1):
+        pose_file = os.path.join(datapath, "groundtruth.txt")
+        if not os.path.isfile(pose_file):
+            pose_file = os.path.join(datapath, "pose.txt")
+        image_data = self._parse_list(os.path.join(datapath, "rgb.txt"))
+        depth_data = self._parse_list(os.path.join(datapath, "depth.txt"))
+        pose_data = self._parse_list(pose_file, skiprows=1)
+        pose_vecs = pose_data[:, 1:].astype(np.float64)
+        t_img = image_data[:, 0].astype(np.float64)
+        t_depth = depth_data[:, 0].astype(np.float64)
+        t_pose = pose_data[:, 0].astype(np.float64)
+        assoc = self._associate(t_img, t_depth, t_pose)
+        indices = [0]
+        for i in range(1, len(assoc)):
+            t0 = t_img[assoc[indices[-1]][0]]
+            t1 = t_img[assoc[i][0]]
+            if t1 - t0 > 1.0 / frame_rate:
+                indices.append(i)
+        images, depths, poses = [], [], []
+        inv_pose = None
+        for ix in indices:
+            i, j, k = assoc[ix]
+            images.append(os.path.join(datapath, str(image_data[i, 1])))
+            depths.append(os.path.join(datapath, str(depth_data[j, 1])))
+            c2w = np.eye(4)
+            from scipy.spatial.transform import Rotation
+            c2w[:3, :3] = Rotation.from_quat(pose_vecs[k][3:]).as_matrix()
+            c2w[:3, 3] = pose_vecs[k][:3]
+            if inv_pose is None:
+                inv_pose = np.linalg.inv(c2w)
+                c2w = np.eye(4)
+            else:
+                c2w = inv_pose @ c2w
+            poses.append(_flip_yz(c2w))
+        return images, depths, poses
+
+
+# ---------------------------------------------------------------------------
+# Synthetic procedural dataset (test/bench fixture; no downloads needed)
+# ---------------------------------------------------------------------------
+
+class Synthetic(BaseDataset):
+    """Analytic RGBD of the inside of a textured box room.
+
+    Rays are intersected with the interior of an axis-aligned box; color is
+    a smooth procedural texture of the hit point. Poses follow a slow orbit
+    with small rotations, the same motion regime as a handheld RGBD camera.
+    Everything is derived deterministically from cfg['data']['seed'].
+    """
+
+    def __init__(self, cfg, input_folder=None):
+        super().__init__(cfg, input_folder)
+        data = cfg["data"]
+        self.n_img = int(data.get("n_frames", 40))
+        self.box_lo = np.array(data.get("box_lo", [-2.0, -1.5, -2.0]))
+        self.box_hi = np.array(data.get("box_hi", [2.0, 1.5, 2.0]))
+        self.poses = [self._pose(i) for i in range(self.n_img)]
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _pose(self, i: int) -> np.ndarray:
+        t = i / max(self.n_img - 1, 1)
+        ang = 0.35 * np.sin(2 * np.pi * t)      # yaw wobble (rad)
+        pitch = 0.08 * np.sin(4 * np.pi * t)
+        cx = 0.45 * np.sin(2 * np.pi * t)
+        cz = 0.30 * np.cos(2 * np.pi * t) - 0.2
+        cy = 0.10 * np.sin(6 * np.pi * t)
+        Ry = np.array([[np.cos(ang), 0, np.sin(ang)],
+                       [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]])
+        Rx = np.array([[1, 0, 0],
+                       [0, np.cos(pitch), -np.sin(pitch)],
+                       [0, np.sin(pitch), np.cos(pitch)]])
+        c2w = np.eye(4)
+        c2w[:3, :3] = Ry @ Rx
+        c2w[:3, 3] = [cx, cy, cz]
+        return c2w
+
+    @staticmethod
+    def _texture(p: np.ndarray) -> np.ndarray:
+        r = 0.5 + 0.5 * np.sin(3.1 * p[..., 0] + 1.7 * p[..., 2])
+        g = 0.5 + 0.5 * np.sin(2.3 * p[..., 1] + 0.9 * p[..., 0] + 1.0)
+        b = 0.5 + 0.5 * np.sin(4.7 * p[..., 2] + 2.9 * p[..., 1] + 2.0)
+        # add a sharper checker component so tracking has gradients
+        ch = ((np.floor(p[..., 0] * 2.5) + np.floor(p[..., 1] * 2.5)
+               + np.floor(p[..., 2] * 2.5)) % 2.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(0.75 * rgb + 0.25 * ch[..., None], 0.0, 1.0)
+
+    def render_frame(self, c2w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        H, W = self.H, self.W
+        j, i = np.meshgrid(np.arange(H, dtype=np.float64),
+                           np.arange(W, dtype=np.float64), indexing="ij")
+        dirs = np.stack([(i - self.cx) / self.fx,
+                         -(j - self.cy) / self.fy,
+                         -np.ones_like(i)], axis=-1)
+        rays_d = dirs @ c2w[:3, :3].T
+        rays_o = c2w[:3, 3]
+        # interior ray/box: for each axis take the positive-t face distance
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_lo = (self.box_lo - rays_o) / rays_d
+            t_hi = (self.box_hi - rays_o) / rays_d
+        t_far = np.maximum(t_lo, t_hi)        # exit distance per axis
+        t_hit = np.min(t_far, axis=-1)
+        hit = rays_o + rays_d * t_hit[..., None]
+        color = self._texture(hit).astype(np.float32)
+        # dirs has z = -1, so the ray parameter t equals z-depth along the
+        # optical axis — exactly the convention of stored dataset depth
+        # (pts = rays_o + rays_d * depth reproduces the hit point).
+        depth = t_hit.astype(np.float32)
+        return color, depth
+
+    def __getitem__(self, index: int):
+        if index not in self._cache:
+            c2w = self.poses[index]
+            color, depth = self.render_frame(c2w)
+            if len(self._cache) > 8:
+                self._cache.clear()
+            self._cache[index] = (color, depth)
+        color, depth = self._cache[index]
+        return index, color, depth, self.poses[index].astype(np.float32)
+
+
+dataset_dict = {
+    "replica": Replica,
+    "scannet": ScanNet,
+    "cofusion": CoFusion,
+    "azure": Azure,
+    "tumrgbd": TUM_RGBD,
+    "synthetic": Synthetic,
+}
+
+
+def get_dataset(cfg, input_folder: Optional[str] = None) -> BaseDataset:
+    return dataset_dict[cfg["dataset"]](cfg, input_folder)

@@ -1,0 +1,84 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loopy_slam_tpu.ops import knn
+
+TABLE = 2 ** 16
+
+
+def build_random(rng, n=500, cap=1024, cell=0.2):
+    pts = rng.uniform(-1.0, 1.0, size=(cap, 3)).astype(np.float32)
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    grid = knn.build(jnp.asarray(pts), jnp.asarray(valid), cell, TABLE)
+    return pts, valid, grid
+
+
+def test_knn_matches_brute_force(rng):
+    cell = 0.2
+    pts, valid, grid = build_random(rng, cell=cell)
+    q = rng.uniform(-0.9, 0.9, size=(64, 3)).astype(np.float32)
+    D, I, nn = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
+                         cell, TABLE, max_per_cell=64)
+    Db, Ib = knn.brute_force_knn(jnp.asarray(pts), jnp.asarray(valid),
+                                 jnp.asarray(q), 8)
+    D, Db = np.asarray(D), np.asarray(Db)
+    nn = np.asarray(nn)
+    r2 = cell ** 2
+    # within the radius the hash-grid result must equal exact k-NN
+    for qi in range(q.shape[0]):
+        exact_in = np.sort(Db[qi][Db[qi] < r2])
+        ours_in = np.sort(D[qi][D[qi] < r2])
+        assert len(ours_in) == len(exact_in) == nn[qi]
+        np.testing.assert_allclose(ours_in, exact_in, rtol=1e-5)
+
+
+def test_knn_distances_sorted_and_indices_consistent(rng):
+    pts, valid, grid = build_random(rng)
+    q = rng.uniform(-0.9, 0.9, size=(32, 3)).astype(np.float32)
+    D, I, nn = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
+                         0.2, TABLE, max_per_cell=64)
+    D, I = np.asarray(D), np.asarray(I)
+    assert (np.diff(D, axis=-1) >= -1e-6).all()
+    # D must equal the true squared distance of the returned index
+    for qi in range(q.shape[0]):
+        for k in range(8):
+            if D[qi, k] < 1e9:
+                d2 = np.sum((pts[I[qi, k]] - q[qi]) ** 2)
+                np.testing.assert_allclose(D[qi, k], d2, rtol=1e-4)
+
+
+def test_knn_no_duplicate_neighbors(rng):
+    pts, valid, grid = build_random(rng, n=300)
+    q = pts[:50] + 1e-3  # near existing points
+    D, I, nn = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
+                         0.2, TABLE, max_per_cell=64)
+    D, I = np.asarray(D), np.asarray(I)
+    for qi in range(q.shape[0]):
+        real = I[qi][D[qi] < 1e9]
+        assert len(np.unique(real)) == len(real)
+
+
+def test_empty_map_returns_zero_neighbors(rng):
+    cap = 256
+    pts = np.zeros((cap, 3), np.float32)
+    grid = knn.build(jnp.asarray(pts), jnp.zeros(cap, bool), 0.2, TABLE)
+    q = rng.uniform(-1, 1, size=(16, 3)).astype(np.float32)
+    D, I, nn = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
+                         0.2, TABLE)
+    assert np.asarray(nn).sum() == 0
+    assert (np.asarray(D) >= 1e9).all()
+
+
+def test_per_query_radius(rng):
+    pts, valid, grid = build_random(rng)
+    q = rng.uniform(-0.9, 0.9, size=(16, 3)).astype(np.float32)
+    radii = np.full(16, 0.05, np.float32)
+    radii[8:] = 0.2
+    D, I, nn = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
+                         jnp.asarray(radii), TABLE, max_per_cell=64)
+    D2, I2, nn2 = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
+                            0.05, TABLE, max_per_cell=64)
+    assert (np.asarray(nn)[:8] == np.asarray(nn2)[:8]).all()
+    assert (np.asarray(nn)[8:] >= np.asarray(nn2)[8:]).all()
