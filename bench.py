@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state tracking+mapping throughput on a Replica-like
+synthetic scene, on whatever accelerator JAX exposes (TPU under the driver).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline note: the reference repo publishes no numbers (BASELINE.md); the
+reference system (Point-SLAM/Loopy-SLAM family) is commonly measured at
+~0.3-0.4 frames/s end-to-end on a desktop CUDA GPU on Replica-class scenes.
+vs_baseline uses 0.33 fps as the documented stand-in until the driver
+records a measured reference value.
+
+Extra diagnostics (Mrays/s, ATE, per-phase times) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np  # noqa: E402
+
+BASELINE_FPS = 0.33
+
+
+def main():
+    import jax
+
+    from loopy_slam_tpu.config import load_config
+    from loopy_slam_tpu.slam import LoopySLAM
+    from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__),
+                                   "configs/Synthetic/room.yaml"))
+    cfg["data"]["n_frames"] = int(os.environ.get("BENCH_FRAMES", 31))
+    cfg["data"]["output"] = "/tmp/loopy_bench_out"
+    cfg["verbose"] = False
+    cfg["mapping"]["color_refine"] = False
+
+    t_setup = time.perf_counter()
+    slam = LoopySLAM(cfg, output=cfg["data"]["output"])
+    result = slam.run()
+    total = time.perf_counter() - t_setup
+
+    track = np.array(slam.timings["track"])
+    mp = np.array(slam.timings["map"])
+    every = cfg["mapping"]["every_frame"]
+    # steady state: medians exclude compile-dominated first calls
+    t_track = float(np.median(track)) if track.size else 0.0
+    t_map = float(np.median(mp)) if mp.size else 0.0
+    per_frame = t_track + t_map / every
+    fps = 1.0 / per_frame if per_frame > 0 else 0.0
+
+    # rendered-ray throughput during tracking (forward+backward per iter)
+    rays_per_track = cfg["tracking"]["pixels"] * cfg["tracking"]["iters"]
+    mrays = rays_per_track / t_track / 1e6 if t_track > 0 else 0.0
+
+    stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
+    print(json.dumps({
+        "devices": [str(d) for d in jax.devices()],
+        "frames": int(cfg["data"]["n_frames"]),
+        "wall_total_s": round(total, 2),
+        "track_median_s": round(t_track, 4),
+        "map_median_s": round(t_map, 4),
+        "track_mrays_per_s": round(mrays, 3),
+        "ate_rmse_m": round(stats["rmse"], 5),
+        "ate_rmse_noalign_m": round(stats["rmse_no_align"], 5),
+        "n_points": result["n_points"],
+    }), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "synthetic_room_track_map_fps",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

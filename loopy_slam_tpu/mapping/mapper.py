@@ -1,0 +1,288 @@
+"""Mapping: point insertion, frustum feature selection, and the jitted
+two-stage (geometry -> color) optimization loop.
+
+Re-design of the reference Mapper (src/Mapper.py:137-807). The reference
+runs ~300-400 Python iterations per mapping frame, each building a fresh
+autograd graph with two faiss RPCs; here each stage is one lax.fori_loop
+inside a single compiled program, optimizing the FULL feature buffers with
+gradients masked by the frustum-selection mask (exactly equivalent to the
+reference's gather/optimize/scatter on selected rows, because the Adam
+state is fresh per mapping call and masked rows see zero gradient).
+
+Loss parity (Mapper.py:682-720): depth L1 summed over
+(gt>0 & valid_ray & finite & inside) rays; the color stage adds
+w_color_loss * color L1. Stage split: geometry for the first
+geo_iter_first (init) or geo_iter_ratio*iters iterations, then color, with
+per-stage learning rates from the mapping.init/stage tables.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.decoder import trainable_mask
+from ..models.renderer import RenderOptions, render_batch_ray
+from ..ops import adam
+from ..ops.camera import invert_c2w, project_points, rays_from_uv
+from ..ops.image import bilinear_sample
+from ..ops.masked import masked_median, masked_max
+from ..ops.sampling import sample_rays
+from .point_cloud import MapOptions, MapState, add_points
+
+
+class MapperOptions(NamedTuple):
+    """Static mapping configuration (hashable)."""
+
+    pixels: int = 1000
+    w_color_loss: float = 0.1
+    frustum_edge: int = -4
+    frustum_feature_selection: bool = True
+    H: int = 680
+    W: int = 1200
+    fx: float = 600.0
+    fy: float = 600.0
+    cx: float = 599.5
+    cy: float = 339.5
+
+    @staticmethod
+    def from_cfg(cfg):
+        m = cfg["mapping"]
+        cam = cfg["cam"]
+        e = cam["crop_edge"] or 0
+        return MapperOptions(
+            pixels=m["pixels"], w_color_loss=m["w_color_loss"],
+            frustum_edge=m["frustum_edge"],
+            frustum_feature_selection=m["frustum_feature_selection"],
+            H=cam["H"] - 2 * e, W=cam["W"] - 2 * e,
+            fx=cam["fx"], fy=cam["fy"], cx=cam["cx"] - e, cy=cam["cy"] - e,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Point insertion (jitted wrappers around point_cloud.add_points)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("mopts", "opts", "n_rays", "overlap"))
+def add_points_from_frame(state: MapState, gt_color, gt_depth, cur_c2w,
+                          prev_c2w, key, mopts: MapOptions,
+                          opts: MapperOptions, n_rays: int,
+                          overlap: Optional[bool] = None,
+                          dynamic_r_add=None):
+    """Sample n_rays pixels of the current frame and insert surface points.
+
+    overlap=None  -> no frustum split (frame 0 path, Mapper.py:462-466)
+    overlap=False -> keep only points OUTSIDE the previous frame's frustum
+    overlap=True  -> keep only points INSIDE it (the extra 1000-ray pass)
+    (filter_point_before_add, Mapper.py:137-163,440-461)
+    """
+    ks, ka = jax.random.split(key)
+    rays_o, rays_d, d, c, valid, ii, jj = sample_rays(
+        ks, 0, opts.H, 0, opts.W, n_rays, cur_c2w, gt_depth, gt_color,
+        opts.fx, opts.fy, opts.cx, opts.cy)
+    if overlap is not None:
+        pts = rays_o + rays_d * d[:, None]
+        uv, z = project_points(pts, invert_c2w(prev_c2w),
+                               opts.fx, opts.fy, opts.cx, opts.cy)
+        inside = ((uv[:, 0] > 0) & (uv[:, 0] < opts.W)
+                  & (uv[:, 1] > 0) & (uv[:, 1] < opts.H))
+        valid = valid & (inside if overlap else ~inside)
+    dra = None if dynamic_r_add is None else dynamic_r_add[jj, ii]
+    return add_points(state, mopts, ka, rays_o, rays_d, d, c, valid,
+                      dynamic_r_add=dra)
+
+
+@partial(jax.jit, static_argnames=("mopts", "opts"))
+def add_points_at_pixels(state: MapState, gt_color, gt_depth, cur_c2w,
+                         flat_idx, key, mopts: MapOptions,
+                         opts: MapperOptions, dynamic_r_add=None):
+    """Insert points at pre-selected pixels (color-gradient picks,
+    Mapper.py:473-482); uses radius_min gating (is_pts_grad)."""
+    jj = (flat_idx // opts.W).astype(jnp.int32)
+    ii = (flat_idx % opts.W).astype(jnp.int32)
+    rays_o, rays_d = rays_from_uv(ii.astype(jnp.float32),
+                                  jj.astype(jnp.float32), cur_c2w,
+                                  opts.fx, opts.fy, opts.cx, opts.cy)
+    d = gt_depth[jj, ii]
+    c = gt_color[jj, ii]
+    dra = None if dynamic_r_add is None else dynamic_r_add[jj, ii]
+    return add_points(state, mopts, key, rays_o, rays_d, d, c, d > 0,
+                      dynamic_r_add=dra, is_pts_grad=True)
+
+
+@partial(jax.jit, static_argnames=("opts",))
+def frustum_feature_mask(map_pos, count, cur_c2w, gt_depth,
+                         opts: MapperOptions):
+    """Which buffer points are optimizable this mapping frame.
+
+    Parity with get_mask_from_c2w (Mapper.py:165-217): project all points
+    into the current camera, widen the image bounds by -frustum_edge px,
+    bilinear-sample the depth image (zero taps -> max depth), and keep
+    points with 0 <= depth_along_axis <= sampled_depth + 0.5.
+    """
+    uv, z = project_points(map_pos, invert_c2w(cur_c2w),
+                           opts.fx, opts.fy, opts.cx, opts.cy)
+    e = opts.frustum_edge
+    inb = ((uv[:, 0] < opts.W - e) & (uv[:, 0] > e)
+           & (uv[:, 1] < opts.H - e) & (uv[:, 1] > e))
+    d = bilinear_sample(gt_depth, uv[:, 0], uv[:, 1])
+    d = jnp.where(d == 0, jnp.max(d), d)
+    mask = inb & (0 <= -z) & (-z <= d + 0.5)
+    return mask & (jnp.arange(map_pos.shape[0]) < count)
+
+
+# ---------------------------------------------------------------------------
+# The jitted optimization loop
+# ---------------------------------------------------------------------------
+
+def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
+              kf_c2w, kf_rq, key, stage, opts: MapperOptions,
+              ropts: RenderOptions, pix_per_frame: int):
+    """One mapping iteration's loss over pix_per_frame rays from each of the
+    F stacked keyframes (last = current frame)."""
+    params = trainable["dec"]
+    geo_feats = trainable["geo"]
+    col_feats = trainable["col"]
+    F = kf_color.shape[0]
+    ks, kr = jax.random.split(key)
+    keys = jax.random.split(ks, F)
+
+    def per_frame(k, c2w, depth, color):
+        return sample_rays(k, 0, opts.H, 0, opts.W, pix_per_frame, c2w,
+                           depth, color, opts.fx, opts.fy, opts.cx, opts.cy)
+
+    ro, rd, d, c, valid, ii, jj = jax.vmap(per_frame)(
+        keys, kf_c2w, kf_depth, kf_color)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    d, valid = d.reshape(-1), valid.reshape(-1)
+    c = c.reshape(-1, 3)
+    rq = None
+    if kf_rq is not None:
+        rq = jnp.take_along_axis(
+            kf_rq.reshape(F, -1),
+            (jj * opts.W + ii).astype(jnp.int32), axis=1).reshape(-1)
+
+    med = masked_median(d, valid)
+    mx = masked_max(d, valid, fill=0.0)
+    inside = valid & (d <= jnp.minimum(10.0 * med, 1.2 * mx))
+
+    depth, _var, color, valid_ray = render_batch_ray(
+        params, map_pos, grid, geo_feats, col_feats, ro, rd, d, inside, kr,
+        ropts, stage, r_query=rq)
+
+    m = (d > 0) & valid_ray & jnp.isfinite(depth) & inside
+    geo_loss = jnp.sum(jnp.where(m, jnp.abs(d - depth), 0.0))
+    loss = geo_loss
+    col_loss = jnp.zeros(())
+    if stage == "color":
+        col_loss = jnp.sum(jnp.where(m[:, None], jnp.abs(c - color), 0.0))
+        loss = loss + opts.w_color_loss * col_loss
+    return loss, (geo_loss, col_loss, jnp.sum(m).astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("opts", "ropts", "pix_per_frame",
+                                   "use_dynamic_radius"),
+         donate_argnames=("trainable",))
+def optimize_map(trainable, dec_mask, feat_mask, map_pos, grid,
+                 kf_color, kf_depth, kf_c2w, kf_rq, key,
+                 n_geo_iters, n_col_iters, lrs_geo, lrs_col,
+                 opts: MapperOptions, ropts: RenderOptions,
+                 pix_per_frame: int, use_dynamic_radius: bool = False):
+    """Run the full geometry->color mapping optimization for one frame.
+
+    trainable: {"dec": decoder params, "geo": (cap,c), "col": (cap,c)}
+    dec_mask:  0/1 pytree over decoder params (models.trainable_mask)
+    feat_mask: (cap,) bool — frustum-selected rows
+    lrs_geo/lrs_col: (3,) arrays [decoders_lr, geometry_lr, color_lr]
+    Returns (trainable, (geo_loss, col_loss)).
+    """
+    if not use_dynamic_radius:
+        kf_rq = None
+    fm = feat_mask[:, None].astype(jnp.float32)
+
+    def masked_grads(g):
+        return {
+            "dec": jax.tree.map(lambda x, m: x * m, g["dec"], dec_mask),
+            "geo": g["geo"] * fm,
+            "col": g["col"] * fm,
+        }
+
+    def phase(stage, n_iters, lrs, carry):
+        grad_fn = jax.value_and_grad(_map_loss, has_aux=True)
+
+        def body(_, carry):
+            trainable, st, k, _ = carry
+            k, kiter = jax.random.split(k)
+            (loss, aux), g = grad_fn(trainable, None, map_pos, grid,
+                                     kf_color, kf_depth, kf_c2w, kf_rq,
+                                     kiter, stage, opts, ropts, pix_per_frame)
+            g = masked_grads(g)
+            lr_tree = {
+                "dec": jax.tree.map(lambda _: lrs[0], trainable["dec"]),
+                "geo": lrs[1],
+                "col": lrs[2],
+            }
+            trainable, st = adam.update(trainable, g, st, lr_tree)
+            return trainable, st, k, aux
+
+        return jax.lax.fori_loop(0, n_iters, body, carry)
+
+    st = adam.init(trainable)
+    zero_aux = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+    carry = (trainable, st, key, zero_aux)
+    carry = phase("geometry", n_geo_iters, lrs_geo, carry)
+    carry = phase("color", n_col_iters, lrs_col, carry)
+    trainable, _, _, aux = carry
+    return trainable, aux
+
+
+# ---------------------------------------------------------------------------
+# Host-side keyframe overlap selection
+# ---------------------------------------------------------------------------
+
+def keyframe_selection_overlap(rng, gt_depth, cur_c2w, kf_c2ws, k,
+                               opts: MapperOptions, n_samples=8, pixels=200):
+    """Score keyframes by frustum overlap with the current view and pick k
+    at random among the >0 scorers (Mapper.py:219-282). Pure numpy: it only
+    needs poses + a sparse depth sample, so it stays off the device."""
+    import numpy as np
+
+    H, W = gt_depth.shape
+    rs = rng
+    j = rs.integers(0, H, size=pixels)
+    i = rs.integers(0, W, size=pixels)
+    d = gt_depth[j, i]
+    keep = d > 0
+    i, j, d = i[keep], j[keep], d[keep]
+    if d.size == 0 or len(kf_c2ws) == 0:
+        return []
+    dirs = np.stack([(i - opts.cx) / opts.fx,
+                     -(j - opts.cy) / opts.fy,
+                     -np.ones_like(d)], -1)
+    rays_d = dirs @ np.asarray(cur_c2w)[:3, :3].T
+    rays_o = np.asarray(cur_c2w)[:3, 3]
+    t = np.linspace(0.0, 1.0, n_samples)
+    near = (d * 0.8)[:, None]
+    far = (d + 0.5)[:, None]
+    z_vals = near * (1 - t) + far * t
+    pts = (rays_o + rays_d[:, None, :] * z_vals[..., None]).reshape(-1, 3)
+    K = np.array([[opts.fx, 0, opts.cx], [0, opts.fy, opts.cy], [0, 0, 1]])
+    scores = []
+    for kid, c2w in enumerate(kf_c2ws):
+        w2c = np.linalg.inv(np.asarray(c2w))
+        cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        # NOTE: reference scores overlap WITHOUT the x-flip (Mapper.py:262)
+        uv = cam @ K.T
+        z = uv[:, 2:3] + 1e-5
+        uv = uv[:, :2] / z
+        edge = 20
+        mask = ((uv[:, 0] < W - edge) & (uv[:, 0] > edge)
+                & (uv[:, 1] < H - edge) & (uv[:, 1] > edge)
+                & (z[:, 0] < 0))
+        scores.append((kid, mask.mean()))
+    good = [kid for kid, s in sorted(scores, key=lambda x: -x[1]) if s > 0]
+    perm = rs.permutation(np.array(good, dtype=int)) if good else []
+    return list(perm[:k])

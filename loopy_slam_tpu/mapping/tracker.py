@@ -1,0 +1,157 @@
+"""Camera tracking: one jit-compiled pose-optimization loop per frame.
+
+Re-design of the reference Tracker (src/Tracker.py:102-424). The reference
+runs `iters` Python iterations, each dispatching a fresh autograd graph and
+several RPC round-trips to the point-cloud server; here the entire loop —
+pixel sampling, rendering, loss, Adam on the pose 7-vector, min-loss
+candidate tracking — is a single lax.fori_loop inside one XLA program, so
+per-iteration overhead is zero and the chip stays busy.
+
+Loss parity (Tracker.py:153-195):
+  inside gate:  gt_depth <= min(10*median, 1.2*max)          (:153-160)
+  dynamic gate: |gt-d|/sqrt(var) < 10*mean (handle_dynamic)  (:174-179)
+  geo loss:     sum clamp(|gt-d|/sqrt(var+1e-10), 0, 1e3)    (:183-184)
+  color loss:   sum |gt_c - c|; total = geo + w_color*color  (:187-191)
+Separate LRs: translation lr, quaternion lr*0.2 (:327-328).
+The candidate kept is the post-step pose whose pre-step loss was minimal
+(:375-377, torch Adam steps in place before the comparison).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.renderer import RenderOptions, render_batch_ray
+from ..ops import adam
+from ..ops.masked import masked_mean, masked_median
+from ..ops.sampling import inside_mask_from_depth, sample_rays
+
+
+class TrackOptions(NamedTuple):
+    """Static tracking configuration (hashable)."""
+
+    pixels: int = 200
+    iters: int = 20
+    lr: float = 0.002
+    separate_LR: bool = True
+    w_color_loss: float = 0.5
+    use_color_in_tracking: bool = True
+    handle_dynamic: bool = True
+    depth_limit: bool = False
+    ignore_edge_W: int = 20
+    ignore_edge_H: int = 20
+    H: int = 680
+    W: int = 1200
+    fx: float = 600.0
+    fy: float = 600.0
+    cx: float = 599.5
+    cy: float = 339.5
+
+    @staticmethod
+    def from_cfg(cfg):
+        t = cfg["tracking"]
+        cam = cfg["cam"]
+        e = cam["crop_edge"] or 0
+        return TrackOptions(
+            pixels=t["pixels"], iters=t["iters"], lr=t["lr"],
+            separate_LR=t["separate_LR"], w_color_loss=t["w_color_loss"],
+            use_color_in_tracking=t["use_color_in_tracking"],
+            handle_dynamic=t["handle_dynamic"], depth_limit=t["depth_limit"],
+            ignore_edge_W=t["ignore_edge_W"], ignore_edge_H=t["ignore_edge_H"],
+            H=cam["H"] - 2 * e, W=cam["W"] - 2 * e,
+            fx=cam["fx"], fy=cam["fy"],
+            cx=cam["cx"] - e, cy=cam["cy"] - e,
+        )
+
+
+def _lr_vector(opts: TrackOptions) -> jnp.ndarray:
+    if opts.separate_LR:
+        return jnp.array([opts.lr * 0.2] * 4 + [opts.lr] * 3, jnp.float32)
+    return jnp.full((7,), opts.lr, jnp.float32)
+
+
+def tracking_loss(cam7, params, map_pos, grid, geo_feats, col_feats,
+                  gt_color, gt_depth, key, opts: TrackOptions,
+                  ropts: RenderOptions, sel_i=None, sel_j=None, r_query=None):
+    """Sample pixels, render, compute the tracking loss for pose cam7."""
+    from ..ops.camera import c2w_from_tensor, rays_from_uv
+
+    c2w = c2w_from_tensor(cam7)
+    ks, kr = jax.random.split(key)
+    if sel_i is not None:
+        # pre-selected color-gradient pixels (sample_with_color_grad path,
+        # Tracker.py:126-139): choose `pixels` of them at random
+        pick = jax.random.randint(ks, (opts.pixels,), 0, sel_i.shape[0])
+        i = sel_i[pick].astype(jnp.float32)
+        j = sel_j[pick].astype(jnp.float32)
+        rays_o, rays_d = rays_from_uv(i, j, c2w, opts.fx, opts.fy,
+                                      opts.cx, opts.cy)
+        ii, jj = i.astype(jnp.int32), j.astype(jnp.int32)
+        d, c = gt_depth[jj, ii], gt_color[jj, ii]
+        valid = d > 0
+        if opts.depth_limit:
+            valid = valid & (d < 5.0)
+    else:
+        rays_o, rays_d, d, c, valid, ii, jj = sample_rays(
+            ks, opts.ignore_edge_H, opts.H - opts.ignore_edge_H,
+            opts.ignore_edge_W, opts.W - opts.ignore_edge_W,
+            opts.pixels, c2w, gt_depth, gt_color,
+            opts.fx, opts.fy, opts.cx, opts.cy,
+            depth_limit=5.0 if opts.depth_limit else None)
+    rq = None if r_query is None else r_query[jj, ii]
+    inside = inside_mask_from_depth(d, valid) & valid
+
+    depth, var, color, _ = render_batch_ray(
+        params, map_pos, grid, geo_feats, col_feats, rays_o, rays_d, d,
+        inside, kr, ropts, "color", r_query=rq)
+
+    var = jax.lax.stop_gradient(var)
+    nan_mask = jnp.isfinite(depth) & jnp.isfinite(var)
+    tmp = jnp.abs(d - depth) / jnp.sqrt(var + 1e-10)
+    if opts.handle_dynamic:
+        gate = tmp < 10.0 * masked_mean(tmp, inside)
+    else:
+        gate = jnp.abs(d - depth) < 10.0 * masked_median(jnp.abs(d - depth),
+                                                         inside)
+    mask = gate & (d > 0) & nan_mask & inside
+
+    geo = jnp.sum(jnp.where(mask, jnp.clip(tmp, 0.0, 1e3), 0.0))
+    col = jnp.sum(jnp.where(mask[:, None], jnp.abs(c - color), 0.0))
+    loss = geo + (opts.w_color_loss * col if opts.use_color_in_tracking else 0.0)
+    return loss, (geo, col, jnp.sum(mask))
+
+
+@partial(jax.jit, static_argnames=("opts", "ropts", "use_selected"))
+def track_frame(params, map_pos, grid, geo_feats, col_feats,
+                gt_color, gt_depth, cam7_init, key,
+                opts: TrackOptions, ropts: RenderOptions,
+                sel_i=None, sel_j=None, r_query=None, use_selected=False):
+    """Optimize the camera pose for one frame. Returns
+    (best_cam7, first_loss, best_loss)."""
+    lr = _lr_vector(opts)
+    grad_fn = jax.value_and_grad(tracking_loss, has_aux=True)
+    si = sel_i if use_selected else None
+    sj = sel_j if use_selected else None
+
+    def body(it, carry):
+        cam7, st, best_loss, best_cam, first_loss, k = carry
+        k, kiter = jax.random.split(k)
+        (loss, _aux), g = grad_fn(cam7, params, map_pos, grid, geo_feats,
+                                  col_feats, gt_color, gt_depth, kiter,
+                                  opts, ropts, si, sj, r_query)
+        cam7_new, st = adam.update(cam7, g, st, lr)
+        better = loss < best_loss
+        best_loss = jnp.where(better, loss, best_loss)
+        best_cam = jnp.where(better, cam7_new, best_cam)
+        first_loss = jnp.where(it == 0, loss, first_loss)
+        return cam7_new, st, best_loss, best_cam, first_loss, k
+
+    init = (cam7_init, adam.init(cam7_init), jnp.inf, cam7_init,
+            jnp.zeros(()), key)
+    _, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(
+        0, opts.iters, body, init)
+    return best_cam, first_loss, best_loss

@@ -1,0 +1,117 @@
+"""Multi-chip execution: rays sharded over the mesh, map replicated,
+gradients reduced over ICI.
+
+The reference's only concurrency is OS processes on one GPU (SURVEY.md
+§2.4); there is no multi-device path to port. This module is the TPU-native
+scale-out design: the ray batch (the embarrassingly parallel axis of both
+tracking and mapping) is sharded across a 1-D device mesh axis "rays";
+decoder parameters, feature buffers and the hash-grid index are replicated;
+loss terms and parameter gradients are combined with jax.lax.psum so every
+chip applies an identical optimizer update. Rays never need neighbor
+exchange (each ray's k-NN reads the replicated map), so the only
+collectives are the gradient psums riding ICI.
+
+Scaling the map itself (sharding the point buffer by spatial cell across
+chips with ring-gathered candidate cells) is the planned next step for
+scenes exceeding one chip's HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mapping.mapper import MapperOptions, _map_loss
+from ..models.renderer import RenderOptions, render_batch_ray
+from ..ops import adam
+
+AXIS = "rays"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def shard_rays(mesh: Mesh, *arrays):
+    """Place ray-major arrays with their leading axis split over the mesh."""
+    out = []
+    for a in arrays:
+        spec = P(AXIS) if a.ndim == 1 else P(AXIS, *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def make_sharded_train_step(mesh: Mesh, mopts: MapperOptions,
+                            ropts: RenderOptions, pix_per_frame: int):
+    """Build a pjit'ed mapping train step: one optimizer step over a window
+    of keyframes with rays data-parallel across the mesh.
+
+    Returns step(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
+                 kf_color, kf_depth, kf_c2w, key, lrs) -> (trainable, state,
+                 loss). kf_* are replicated; the per-frame pixel sampling
+    happens inside, sharded by folding the device index into the RNG key.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    local_pix = max(pix_per_frame // mesh.devices.size, 1)
+
+    def local_loss(trainable, map_pos, grid, kf_color, kf_depth, kf_c2w,
+                   key, stage):
+        ax = jax.lax.axis_index(AXIS)
+        key = jax.random.fold_in(key, ax)
+        loss, aux = _map_loss(trainable, None, map_pos, grid, kf_color,
+                              kf_depth, kf_c2w, None, key, stage, mopts,
+                              ropts, local_pix)
+        return loss, aux
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+             out_specs=(P(), P(), P()),
+             check_rep=False)
+    def _step(trainable, st, dec_mask, feat_mask, map_pos, grid,
+              kf_color, kf_depth, kf_c2w, key, lrs):
+        grad_fn = jax.value_and_grad(local_loss, has_aux=True)
+        (loss, _aux), g = grad_fn(trainable, map_pos, grid, kf_color,
+                                  kf_depth, kf_c2w, key, "color")
+        g = jax.lax.psum(g, AXIS)
+        loss = jax.lax.psum(loss, AXIS)
+        fm = feat_mask[:, None].astype(jnp.float32)
+        g = {"dec": jax.tree.map(lambda x, m: x * m, g["dec"], dec_mask),
+             "geo": g["geo"] * fm, "col": g["col"] * fm}
+        lr_tree = {"dec": jax.tree.map(lambda _: lrs[0], trainable["dec"]),
+                   "geo": lrs[1], "col": lrs[2]}
+        trainable, st = adam.update(trainable, g, st, lr_tree)
+        return trainable, st, loss
+
+    return jax.jit(_step)
+
+
+def make_sharded_render(mesh: Mesh, ropts: RenderOptions):
+    """pjit'ed batch renderer with rays sharded over the mesh (used for
+    full-image eval renders and the throughput benchmark)."""
+
+    @partial(jax.jit, static_argnames=())
+    def render(params, map_pos, grid, geo, col, rays_o, rays_d, gt_depth,
+               key):
+        valid = gt_depth > 0
+        return render_batch_ray(params, map_pos, grid, geo, col,
+                                rays_o, rays_d, gt_depth, valid, key,
+                                ropts, "color")
+
+    def run(params, map_pos, grid, geo, col, rays_o, rays_d, gt_depth, key):
+        rays_o, rays_d, gt_depth = shard_rays(mesh, rays_o, rays_d, gt_depth)
+        reps = replicate(mesh, (params, map_pos, grid, geo, col))
+        return render(*reps, rays_o, rays_d, gt_depth, key)
+
+    return run

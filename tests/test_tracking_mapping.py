@@ -1,0 +1,85 @@
+"""Integration: map a synthetic frame, then track a perturbed pose back."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import small_cfg
+from loopy_slam_tpu.mapping import mapper as mapper_mod
+from loopy_slam_tpu.mapping import tracker as tracker_mod
+from loopy_slam_tpu.mapping.point_cloud import MapOptions, init_map, valid_mask
+from loopy_slam_tpu.models.decoder import init_decoders, trainable_mask
+from loopy_slam_tpu.models.renderer import RenderOptions
+from loopy_slam_tpu.ops.camera import tensor_from_c2w, c2w_from_tensor
+from loopy_slam_tpu.utils.datasets import Synthetic
+
+
+def build_mapped_scene(cfg, n_iters=120):
+    ds = Synthetic(cfg)
+    _, color_np, depth_np, c2w = ds[0]
+    color, depth = jnp.asarray(color_np), jnp.asarray(depth_np)
+    mopts_map = MapOptions.from_cfg(cfg)
+    mopts = mapper_mod.MapperOptions.from_cfg(cfg)
+    ropts = RenderOptions.from_cfg(cfg)
+    state = init_map(mopts_map)
+    params = init_decoders(jax.random.PRNGKey(0), cfg)
+    state, n = mapper_mod.add_points_from_frame(
+        state, color, depth, jnp.asarray(c2w), jnp.asarray(c2w),
+        jax.random.PRNGKey(1), mopts_map, mopts, 3000, overlap=None)
+    assert int(n) > 100
+
+    trainable = {"dec": params, "geo": state.geo, "col": state.col}
+    dec_mask = trainable_mask(params, cfg)
+    kc = color[None]
+    kd = depth[None]
+    kp = jnp.asarray(c2w)[None]
+    lrs_geo = jnp.asarray([0.001, 0.03, 0.0])
+    lrs_col = jnp.asarray([0.005, 0.005, 0.005])
+    trainable, aux = mapper_mod.optimize_map(
+        trainable, dec_mask, valid_mask(state), state.pos, state.grid,
+        kc, kd, kp, None, jax.random.PRNGKey(2),
+        jnp.asarray(n_iters // 2), jnp.asarray(n_iters // 2),
+        lrs_geo, lrs_col, mopts, ropts, 300, False)
+    state = state._replace(geo=trainable["geo"], col=trainable["col"])
+    return ds, state, trainable["dec"], mopts, ropts, (color, depth, c2w), aux
+
+
+def test_mapping_reduces_loss(cfg):
+    cfg = small_cfg()
+    ds, state, params, mopts, ropts, (color, depth, c2w), aux = \
+        build_mapped_scene(cfg, n_iters=100)
+    geo_loss, col_loss, n = float(aux[0]), float(aux[1]), float(aux[2])
+    assert n > 0
+    # per-ray depth error should be small after optimization (scene ~2-4 m)
+    assert geo_loss / n < 0.08, f"geo {geo_loss/n}"
+    assert col_loss / n / 3 < 0.25, f"col {col_loss/n}"
+
+
+def test_tracking_recovers_perturbed_pose(cfg):
+    cfg = small_cfg()
+    ds, state, params, mopts, ropts, (color, depth, c2w), _ = \
+        build_mapped_scene(cfg, n_iters=240)
+    topts = tracker_mod.TrackOptions.from_cfg(cfg)._replace(
+        pixels=500, iters=100, H=cfg["cam"]["H"], W=cfg["cam"]["W"],
+        fx=cfg["cam"]["fx"], fy=cfg["cam"]["fy"],
+        cx=cfg["cam"]["cx"], cy=cfg["cam"]["cy"])
+    ropts_t = RenderOptions.from_cfg(
+        cfg, sigmoid_coef=cfg["rendering"]["sigmoid_coef_tracker"])
+
+    gt7 = tensor_from_c2w(c2w)
+    pert = gt7.copy()
+    pert[4:] += np.array([0.02, -0.015, 0.02], np.float32)   # 2 cm offset
+    pert[:4] += np.array([0.0, 0.01, -0.01, 0.01], np.float32)
+
+    best, first_loss, best_loss = tracker_mod.track_frame(
+        params, state.pos, state.grid, state.geo, state.col,
+        color, depth, jnp.asarray(pert), jax.random.PRNGKey(5),
+        topts, ropts_t)
+    best = np.asarray(best)
+    err_before = np.abs(pert - gt7)
+    err_after = np.abs(best - gt7)
+    assert float(best_loss) < float(first_loss)
+    # overall pose error should shrink substantially (a single-frame map
+    # leaves some gauge freedom, so per-axis convergence is not guaranteed)
+    assert err_after.mean() < 0.75 * err_before.mean(), (
+        err_before, err_after)
