@@ -1,0 +1,414 @@
+"""Submap-to-submap rigid registration: voxel downsample, normals, FPFH,
+batched RANSAC, robust (Tukey) point-to-plane ICP, information matrices.
+
+First-party replacement for the Open3D C++ registration pipeline the
+reference calls (reference src/common.py:545-757 and :828-839):
+  preprocess:  voxel_down_sample(0.04) -> normals (hybrid r=2*voxel,
+               nn<=30) oriented toward the camera -> FPFH (r=5*voxel,
+               nn<=100)                                   (common.py:545-558)
+  global reg:  RANSAC on mutual FPFH matches, 3-point Umeyama, edge-length
+               checker 0.9 + distance checker 1.5*voxel   (common.py:574-590)
+  refine:      point-to-plane ICP with TukeyLoss(k=0.01), max corr 0.03
+                                                          (common.py:645-663)
+  information: sum over fine correspondences of G^T G with
+               G = [-hat(q) | I] (rotation-first, Open3D ordering), so
+               info[5,5] equals the correspondence count and the success
+               gate info[5,5]/n_points >= 0.3 transfers   (common.py:734-739,
+                                                           :828-839)
+
+Like the reference (which runs this on a CPU process pool,
+neural_point.py:650-656), registration is off the per-frame critical path,
+so this is deliberately host-side numpy/scipy; RANSAC is vectorized
+(batched hypotheses) rather than a sequential loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+# ---------------------------------------------------------------------------
+
+def voxel_down_sample(points: np.ndarray, voxel: float,
+                      colors: Optional[np.ndarray] = None):
+    """Average points (and colors) per occupied voxel."""
+    idx = np.floor(points / voxel).astype(np.int64)
+    # stable unique voxel ids
+    key = (idx - idx.min(0)).astype(np.int64)
+    dims = key.max(0) + 1
+    flat = (key[:, 0] * dims[1] + key[:, 1]) * dims[2] + key[:, 2]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    n = len(uniq)
+    acc = np.zeros((n, 3))
+    cnt = np.zeros(n)
+    np.add.at(acc, inv, points)
+    np.add.at(cnt, inv, 1.0)
+    out = acc / cnt[:, None]
+    if colors is not None:
+        cacc = np.zeros((n, 3))
+        np.add.at(cacc, inv, colors)
+        return out, cacc / cnt[:, None]
+    return out, None
+
+
+def estimate_normals(points: np.ndarray, radius: float, max_nn: int,
+                     camera_location: Optional[np.ndarray] = None):
+    """PCA normals from hybrid-radius neighborhoods, oriented toward the
+    camera (o3d estimate_normals + orient_normals_towards_camera_location)."""
+    tree = cKDTree(points)
+    d, i = tree.query(points, k=min(max_nn, len(points)),
+                      distance_upper_bound=radius)
+    n = len(points)
+    normals = np.zeros((n, 3))
+    valid = np.isfinite(d)
+    i = np.where(valid, i, 0)
+    neigh = points[i]  # (n, k, 3)
+    w = valid.astype(np.float64)[..., None]
+    cnt = w.sum(1)
+    mean = (neigh * w).sum(1) / np.maximum(cnt, 1)
+    cent = (neigh - mean[:, None, :]) * w
+    cov = np.einsum("nka,nkb->nab", cent, cent)
+    # smallest eigenvector of each 3x3 covariance
+    evals, evecs = np.linalg.eigh(cov)
+    normals = evecs[:, :, 0]
+    if camera_location is not None:
+        to_cam = camera_location[None, :] - points
+        flip = np.einsum("nd,nd->n", normals, to_cam) < 0
+        normals[flip] *= -1
+    return normals
+
+
+def _fpfh_spfh(points, normals, pairs_i, pairs_j):
+    """Darboux-frame angle triplet for point pairs (i source of frame)."""
+    p, q = points[pairs_i], points[pairs_j]
+    n1, n2 = normals[pairs_i], normals[pairs_j]
+    dvec = q - p
+    dist = np.linalg.norm(dvec, axis=-1) + 1e-12
+    dn = dvec / dist[:, None]
+    # choose the frame anchor so that the angle between the anchor normal
+    # and the line is the larger one (PCL/o3d convention)
+    dot1 = np.einsum("nd,nd->n", n1, dn)
+    dot2 = np.einsum("nd,nd->n", n2, -dn)
+    swap = np.abs(dot1) < np.abs(dot2)
+    ns = np.where(swap[:, None], n2, n1)
+    nt = np.where(swap[:, None], n1, n2)
+    dsign = np.where(swap[:, None], -dn, dn)
+    u = ns
+    v = np.cross(dsign, u)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True) + 1e-12
+    w = np.cross(u, v)
+    alpha = np.einsum("nd,nd->n", v, nt)                      # in [-1,1]
+    phi = np.einsum("nd,nd->n", u, dsign)                     # in [-1,1]
+    theta = np.arctan2(np.einsum("nd,nd->n", w, nt),
+                       np.einsum("nd,nd->n", u, nt))          # in [-pi,pi]
+    return alpha, phi, theta, dist, swap
+
+
+def compute_fpfh(points: np.ndarray, normals: np.ndarray, radius: float,
+                 max_nn: int = 100, bins: int = 11) -> np.ndarray:
+    """FPFH descriptors (33-dim), PCL formulation (SPFH + weighted sum)."""
+    n = len(points)
+    tree = cKDTree(points)
+    d, idx = tree.query(points, k=min(max_nn, n),
+                        distance_upper_bound=radius)
+    valid = np.isfinite(d) & (d > 0)
+    rows = np.repeat(np.arange(n), valid.sum(1))
+    cols = idx[valid]
+    alpha, phi, theta, dist, _ = _fpfh_spfh(points, normals, rows, cols)
+
+    def hist_idx(x, lo, hi):
+        return np.clip(((x - lo) / (hi - lo) * bins).astype(int), 0, bins - 1)
+
+    ia = hist_idx(alpha, -1.0, 1.0)
+    ip = hist_idx(phi, -1.0, 1.0)
+    it = hist_idx(theta, -np.pi, np.pi)
+    spfh = np.zeros((n, 3 * bins))
+    np.add.at(spfh, (rows, ia), 1.0)
+    np.add.at(spfh, (rows, bins + ip), 1.0)
+    np.add.at(spfh, (rows, 2 * bins + it), 1.0)
+    cnt = np.maximum(valid.sum(1), 1)[:, None]
+    spfh = spfh / cnt * 100.0
+
+    # FPFH = SPFH(p) + (1/k) sum_j SPFH(j) / dist_j
+    fpfh = spfh.copy()
+    wsum = np.zeros(n)
+    contrib = np.zeros_like(spfh)
+    wj = 1.0 / np.maximum(dist, 1e-6)
+    np.add.at(contrib, rows, spfh[cols] * wj[:, None])
+    np.add.at(wsum, rows, np.ones_like(wj))
+    fpfh += contrib / np.maximum(wsum, 1)[:, None]
+    return fpfh
+
+
+# ---------------------------------------------------------------------------
+# RANSAC global registration
+# ---------------------------------------------------------------------------
+
+def _umeyama_rigid(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Batched closed-form rigid transforms: src (B,3,3) -> dst (B,3,3)."""
+    ms = src.mean(1, keepdims=True)
+    md = dst.mean(1, keepdims=True)
+    H = np.einsum("bni,bnj->bij", src - ms, dst - md)
+    U, S, Vt = np.linalg.svd(H)
+    det = np.linalg.det(np.einsum("bij,bjk->bik", np.transpose(Vt, (0, 2, 1)),
+                                  np.transpose(U, (0, 2, 1))))
+    D = np.tile(np.eye(3), (len(src), 1, 1))
+    D[:, 2, 2] = det
+    R = np.einsum("bij,bjk,bkl->bil", np.transpose(Vt, (0, 2, 1)), D,
+                  np.transpose(U, (0, 2, 1)))
+    t = md[:, 0] - np.einsum("bij,bj->bi", R, ms[:, 0])
+    T = np.tile(np.eye(4), (len(src), 1, 1))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = t
+    return T
+
+
+def ransac_feature_matching(src_pts, dst_pts, src_feat, dst_feat,
+                            voxel: float, max_iter: int = 100000,
+                            confidence: float = 0.999,
+                            edge_ratio: float = 0.9,
+                            rng: Optional[np.random.Generator] = None):
+    """Batched-hypothesis RANSAC on mutual FPFH nearest-neighbor matches.
+
+    Returns (T 4x4, fitness, inlier_rmse). Fitness = inliers / n_matches.
+    """
+    rng = rng or np.random.default_rng(0)
+    dist_thr = voxel * 1.5
+    ft = cKDTree(dst_feat)
+    _, j_of_i = ft.query(src_feat, k=1)
+    fs = cKDTree(src_feat)
+    _, i_of_j = fs.query(dst_feat, k=1)
+    mutual = i_of_j[j_of_i] == np.arange(len(src_feat))
+    ci = np.where(mutual)[0]
+    cj = j_of_i[ci]
+    if len(ci) < 4:
+        ci = np.arange(len(src_feat))
+        cj = j_of_i
+    P = src_pts[ci]
+    Q = dst_pts[cj]
+    n = len(P)
+
+    batch = 2048
+    total = 0
+    bestT = np.eye(4)
+    best_inl = -1
+    best_rmse = np.inf
+    needed = max_iter
+    while total < min(needed, max_iter):
+        k = min(batch, max_iter - total)
+        total += k
+        sel = rng.integers(0, n, size=(k, 3))
+        sp, dq = P[sel], Q[sel]
+        # edge-length consistency checker
+        def elen(x):
+            return np.stack([np.linalg.norm(x[:, 0] - x[:, 1], axis=-1),
+                             np.linalg.norm(x[:, 1] - x[:, 2], axis=-1),
+                             np.linalg.norm(x[:, 0] - x[:, 2], axis=-1)], -1)
+        es, ed = elen(sp), elen(dq)
+        ok = ((es > edge_ratio * ed) & (ed > edge_ratio * es)).all(-1)
+        ok &= (es > 1e-6).all(-1)
+        if not ok.any():
+            continue
+        T = _umeyama_rigid(sp[ok], dq[ok])
+        moved = np.einsum("bij,nj->bni", T[:, :3, :3], P) + T[:, None, :3, 3]
+        d2 = np.sum((moved - Q[None]) ** 2, -1)
+        inl = d2 < dist_thr ** 2
+        ninl = inl.sum(-1)
+        b = np.argmax(ninl)
+        if ninl[b] > best_inl:
+            best_inl = int(ninl[b])
+            bestT = T[b]
+            best_rmse = float(np.sqrt(d2[b][inl[b]].mean())) if ninl[b] else np.inf
+            ratio = best_inl / n
+            if ratio > 0:
+                needed = int(np.log(max(1 - confidence, 1e-12))
+                             / np.log(max(1 - ratio ** 3, 1e-12))) + 1
+    fitness = best_inl / n if n else 0.0
+    return bestT, fitness, best_rmse
+
+
+# ---------------------------------------------------------------------------
+# robust point-to-plane ICP
+# ---------------------------------------------------------------------------
+
+def icp_point_to_plane(src_pts, dst_pts, dst_normals, max_corr: float,
+                       init_T: np.ndarray, max_iter: int = 30,
+                       tukey_k: Optional[float] = None):
+    """Gauss-Newton point-to-plane ICP with optional Tukey robust weights.
+
+    Matches o3d registration_icp(TransformationEstimationPointToPlane
+    [TukeyLoss(k)]). Returns (T, fitness, inlier_rmse).
+    """
+    tree = cKDTree(dst_pts)
+    T = init_T.copy()
+    n_src = len(src_pts)
+    fitness, rmse = 0.0, np.inf
+    for _ in range(max_iter):
+        moved = src_pts @ T[:3, :3].T + T[:3, 3]
+        d, j = tree.query(moved, k=1, distance_upper_bound=max_corr)
+        ok = np.isfinite(d)
+        if ok.sum() < 6:
+            break
+        p = moved[ok]
+        q = dst_pts[j[ok]]
+        nrm = dst_normals[j[ok]]
+        r = np.einsum("nd,nd->n", p - q, nrm)
+        if tukey_k is not None:
+            w = (1.0 - np.minimum(np.abs(r) / tukey_k, 1.0) ** 2) ** 2
+        else:
+            w = np.ones_like(r)
+        # jacobian wrt xi = (alpha,beta,gamma, tx,ty,tz), rotation-first
+        J = np.concatenate([np.cross(p, nrm), nrm], axis=1)  # (m, 6)
+        A = J.T @ (w[:, None] * J)
+        b = J.T @ (w * r)
+        try:
+            dx = np.linalg.solve(A + 1e-9 * np.eye(6), -b)
+        except np.linalg.LinAlgError:
+            break
+        dR = _rotvec_to_mat(dx[:3])
+        dT = np.eye(4)
+        dT[:3, :3] = dR
+        dT[:3, 3] = dx[3:]
+        T = dT @ T
+        fitness = ok.mean()
+        rmse = float(np.sqrt(np.mean(r ** 2)))
+        if np.linalg.norm(dx) < 1e-8:
+            break
+    return T, float(fitness), rmse
+
+
+def _rotvec_to_mat(w):
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+
+
+# ---------------------------------------------------------------------------
+# information matrix + full pairwise pipeline
+# ---------------------------------------------------------------------------
+
+def information_matrix(src_pts, dst_pts, max_corr: float, T: np.ndarray):
+    """o3d get_information_matrix_from_point_clouds: sum over fine
+    correspondences of G^T G with G = [-hat(q) | I] (rotation-first), using
+    TARGET points q. info[5,5] = number of correspondences."""
+    tree = cKDTree(dst_pts)
+    moved = src_pts @ T[:3, :3].T + T[:3, 3]
+    d, j = tree.query(moved, k=1, distance_upper_bound=max_corr)
+    ok = np.isfinite(d)
+    q = dst_pts[j[ok]]
+    m = len(q)
+    G = np.zeros((m, 3, 6))
+    G[:, 0, 1] = -q[:, 2]
+    G[:, 0, 2] = q[:, 1]
+    G[:, 1, 0] = q[:, 2]
+    G[:, 1, 2] = -q[:, 0]
+    G[:, 2, 0] = -q[:, 1]
+    G[:, 2, 1] = q[:, 0]
+    G[:, :, 3:] = np.tile(np.eye(3), (m, 1, 1))
+    return np.einsum("mia,mib->ab", G, G) if m else np.eye(6)
+
+
+def info_o3d_to_rho_phi(info: np.ndarray) -> np.ndarray:
+    """Permute a rotation-first (o3d) 6x6 information matrix into the
+    [rho, phi] ordering used by ops/pose_graph.py."""
+    P = np.zeros((6, 6))
+    P[:3, 3:] = np.eye(3)  # rho rows take o3d translation block
+    P[3:, :3] = np.eye(3)  # phi rows take o3d rotation block
+    return P @ info @ P.T
+
+
+def pairwise_registration(source: Dict, target: Dict, method: str = "robust_icp",
+                          global_iter: int = 100000, conf: float = 0.999,
+                          rng=None) -> Dict:
+    """Register two submaps; mirrors reference pairwise_registration
+    (common.py:592-744). source/target dicts carry:
+      points (N,3), points_color (N,3), keyframe (4,4 est pose),
+      gt_camera (4,4, optional — for 'gt' method / diagnostics).
+    Returns transformation, information (o3d ordering), fitness,
+    inlier_rmse, n_points.
+    """
+    import time as _time
+
+    sp = np.asarray(source["points"], np.float64)
+    tp = np.asarray(target["points"], np.float64)
+    cam_s = np.asarray(source["keyframe"])[:3, 3]
+    cam_t = np.asarray(target["keyframe"])[:3, 3]
+    out: Dict = {}
+    T = np.eye(4)
+    fitness, rmse = -1.0, -1.0
+    tic = _time.perf_counter()
+    if method == "gt":
+        gs, gt_ = np.asarray(source["gt_camera"]), np.asarray(target["gt_camera"])
+        ks, kt = np.asarray(source["keyframe"]), np.asarray(target["keyframe"])
+        T = (gs @ np.linalg.inv(gt_)) @ kt @ np.linalg.inv(ks)
+    elif method == "identity":
+        T = np.eye(4)
+    elif method in ("icp", "robust_icp", "colored_icp"):
+        tn = estimate_normals(tp, radius=0.1, max_nn=50, camera_location=cam_t)
+        if method == "icp" or method == "colored_icp":
+            T, fitness, rmse = icp_point_to_plane(sp, tp, tn, 0.3, np.eye(4),
+                                                  max_iter=30)
+            T, fitness, rmse = icp_point_to_plane(sp, tp, tn, 0.03, T,
+                                                  max_iter=30)
+        else:
+            voxel = 0.04
+            sd, _ = voxel_down_sample(sp, voxel)
+            td, _ = voxel_down_sample(tp, voxel)
+            sn_d = estimate_normals(sd, voxel * 2, 30, cam_s)
+            tn_d = estimate_normals(td, voxel * 2, 30, cam_t)
+            sf = compute_fpfh(sd, sn_d, voxel * 5.0, 100)
+            tf = compute_fpfh(td, tn_d, voxel * 5.0, 100)
+            T, _, _ = ransac_feature_matching(sd, td, sf, tf, voxel,
+                                              max_iter=min(global_iter, 100000),
+                                              confidence=conf, rng=rng)
+            T, fitness, rmse = icp_point_to_plane(sp, tp, tn, 0.03, T,
+                                                  max_iter=30, tukey_k=0.01)
+    else:
+        raise NotImplementedError(method)
+    toc = _time.perf_counter()
+
+    out["transformation"] = T
+    out["information"] = information_matrix(sp, tp, 0.03, T)
+    out["n_points"] = min(len(sp), len(tp))
+    out["fitness"] = fitness
+    out["inlier_rmse"] = rmse
+    out["registration_time"] = toc - tic
+    out["transformation_transl_mag"] = float(np.abs(T[:3, 3]).mean())
+    out["transformation_mag"] = float(np.abs(T).mean())
+    if "gt_camera" in source and source["gt_camera"] is not None:
+        gs = np.asarray(source["gt_camera"])
+        gtt = np.asarray(target["gt_camera"])
+        ks = np.asarray(source["keyframe"])
+        kt = np.asarray(target["keyframe"])
+        T_gt = (gs @ np.linalg.inv(gtt)) @ kt @ np.linalg.inv(ks)
+        out["transformation_gt"] = T_gt
+        out["transformation_transl_err"] = float(
+            np.abs(T[:3, 3] - T_gt[:3, 3]).mean())
+    return out
+
+
+def register_point_cloud_pair(s: int, t: int, s_seg: Dict, t_seg: Dict,
+                              method: str, global_iter: int, conf: float,
+                              rng=None) -> Dict:
+    """Pair registration + the reference's success gate
+    (common.py:828-839): loop pairs fail if RANSAC returned identity or
+    overlap info[5,5]/n_points < 0.3."""
+    out = pairwise_registration(s_seg, t_seg, method, global_iter, conf, rng)
+    out["s"], out["t"] = s, t
+    if t != s + 1:
+        if (np.trace(out["transformation"]) == 4.0
+                or out["information"][5, 5] / max(out["n_points"], 1) < 0.3):
+            out["success"] = False
+            out["transformation"] = np.eye(4)
+            out["information"] = np.eye(6)
+            return out
+    out["success"] = True
+    return out
