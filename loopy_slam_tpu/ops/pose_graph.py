@@ -81,9 +81,11 @@ def optimize(g: PoseGraph, preference_loop_closure: float = 5.0,
         return jnp.where(g.certain, 1.0, l)
 
     def step(carry, _):
-        nodes, lam = carry
+        # Choi et al. alternation: update X with the CURRENT line weights
+        # (l=1 initially), then refresh l from the new residuals — computing
+        # l before any X step would strangle large-residual loop edges.
+        nodes, lam, l = carry
         r = edge_residuals(nodes, g)                       # (E, 6)
-        l = line_weights(r)
         # Analytic first-order Jacobians of r = log(Z^-1 Xi^-1 Xj) under
         # right perturbation (small-residual approximation Jr^-1 ~= I —
         # autodiff through so3_log is numerically singular at r -> 0):
@@ -110,16 +112,16 @@ def optimize(g: PoseGraph, preference_loop_closure: float = 5.0,
         # accept if cost decreased (simple LM schedule)
         def cost(nd):
             rr = edge_residuals(nd, g)
-            ll = line_weights(rr)
-            return jnp.sum(ll * jnp.einsum("ei,eij,ej->e", rr, g.edge_info, rr))
+            return jnp.sum(l * jnp.einsum("ei,eij,ej->e", rr, g.edge_info, rr))
         better = cost(new_nodes) < cost(nodes)
         nodes = jnp.where(better, new_nodes, nodes)
         lam = jnp.where(better, lam * 0.5, lam * 4.0)
-        return (nodes, lam), None
+        l_new = line_weights(edge_residuals(nodes, g))
+        return (nodes, lam, l_new), None
 
-    (nodes, _), _ = jax.lax.scan(step, (g.nodes, jnp.asarray(lm_lambda)),
-                                 None, length=max_iters)
-    final_w = line_weights(edge_residuals(nodes, g))
+    (nodes, _, final_w), _ = jax.lax.scan(
+        step, (g.nodes, jnp.asarray(lm_lambda), jnp.ones(E)),
+        None, length=max_iters)
     return nodes, final_w
 
 

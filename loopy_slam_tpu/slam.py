@@ -31,7 +31,11 @@ import numpy as np
 from .config import DEFAULTS
 from .mapping import mapper as mapper_mod
 from .mapping import tracker as tracker_mod
+from .mapping import place_recognition as pr
+from .mapping.fragments import FragmentManager
+from .mapping.loop_closure import LoopCloser, LoopClosureConfig
 from .mapping.point_cloud import MapOptions, MapState, init_map, valid_mask
+from .ops import knn, tsdf
 from .models.decoder import init_decoders, trainable_mask
 from .models.renderer import RenderOptions, render_batch_ray
 from .ops.camera import c2w_from_tensor, c2w_to_4x4, get_rays, tensor_from_c2w
@@ -129,6 +133,17 @@ class LoopySLAM:
         self.cur_r_query = None
         self.timings: Dict[str, List[float]] = {"track": [], "map": []}
 
+        # submaps + loop closure
+        self.fm = FragmentManager(
+            m["segment_rel_trans"], m["segment_rot_cos"],
+            self.H, self.W, self.fx, self.fy, self.cx, self.cy)
+        self.lc = LoopCloser(LoopClosureConfig.from_cfg(cfg), self.fm)
+        self.active_sensor_start = 0
+        self.registration_voxel = cfg["meshing"].get(
+            "registration_voxel", 5.0 / 512.0)
+        self.lc_enabled = cfg["mapping"]["segment_strategy"] in (
+            "rot_trans", "fixed")
+
     # ------------------------------------------------------------------
     def _load_pretrained_geo(self):
         path = self.cfg["pretrained_decoders"].get("middle_fine", "")
@@ -192,6 +207,139 @@ class LoopySLAM:
         return np.asarray(c2w_to_4x4(c2w_from_tensor(best_cam)))
 
     # ------------------------------------------------------------------
+    # Submaps + loop closure
+    # ------------------------------------------------------------------
+    def _start_new_segment(self, idx, cur_c2w, gt_c2w, color_np, depth_np):
+        """Close the active segment (archive to host, carry-over overlap
+        points) and open a new one anchored at the current frame. Mirrors
+        check_index/init_segment/update_fragments (neural_point.py:
+        1283-1315,1220-1250,1138-1218)."""
+        first = not self.fm.fragments
+        des = pr.extract_orb(color_np)
+        n_carry = 0
+        if not first:
+            s = self.map_state
+            cnt = int(s.count)
+            npc = np.asarray(s.pos[:cnt])
+            geo = np.asarray(s.geo[:cnt])
+            col = np.asarray(s.col[:cnt])
+            in_cnt = int(s.in_count)
+            spts = np.asarray(s.in_pos[self.active_sensor_start:in_cnt])
+            srgb = np.asarray(s.in_rgb[self.active_sensor_start:in_cnt])
+            carry = (self.fm.carry_over_mask(cur_c2w, npc) if cnt
+                     else np.zeros(0, bool))
+            self.fm.close_active(npc, geo, col, spts, srgb, carry)
+            # fresh active buffer seeded with the carried-over block
+            state = init_map(self.mopts_map)
+            n_carry = int(carry.sum())
+            if n_carry:
+                state = state._replace(
+                    pos=state.pos.at[:n_carry].set(jnp.asarray(npc[carry])),
+                    geo=state.geo.at[:n_carry].set(jnp.asarray(geo[carry])),
+                    col=state.col.at[:n_carry].set(jnp.asarray(col[carry])),
+                    count=jnp.asarray(n_carry, jnp.int32))
+            state = state._replace(
+                grid=knn.build(state.pos, valid_mask(state),
+                               self.mopts_map.cell_size,
+                               self.mopts_map.table_size),
+                in_pos=s.in_pos, in_rgb=s.in_rgb, in_count=s.in_count)
+            self.map_state = state
+            self.keyframe_list = []  # local keyframes reset (Mapper.py:906)
+            if self.verbose:
+                print(f"new segment at frame {idx} "
+                      f"(carried {n_carry} points)")
+        self.active_sensor_start = int(self.map_state.in_count)
+        self.fm.start_fragment(idx, cur_c2w, gt_c2w, color_np, depth_np,
+                               des, idx_start_features=n_carry)
+        self.lc.on_new_segment(des)
+
+    def _tsdf_registration_cloud(self, start_idx, end_idx):
+        """Fuse a segment's frames into a TSDF and return mesh vertices +
+        colors — the registration cloud (compute_tsdf parity,
+        neural_point.py:959-1017)."""
+        frames, poses = [], []
+        for i in range(start_idx, end_idx):
+            _, c, d, _ = self.dataset[i]
+            frames.append((c, d))
+            poses.append(self.estimate_c2w[i])
+        grid = tsdf.fuse_frames(frames, poses, self.fx, self.fy, self.cx,
+                                self.cy, voxel=self.registration_voxel,
+                                trunc=0.04)
+        verts, _faces, cols = tsdf.extract_mesh(grid)
+        return verts, cols
+
+    def _apply_loop_closure(self, idx) -> Optional[np.ndarray]:
+        """apply_transformation parity (neural_point.py:1109-1136): fuse the
+        just-closed segment's TSDF cloud, compute its ORB baseline, run
+        correction once >3 segments exist, and rigidly apply the solved
+        per-segment transforms to clouds, trajectory, and the device map."""
+        frags = self.fm.fragments
+        old, new = frags[-2], frags[-1]
+        old.reg_points, old.reg_colors = self._tsdf_registration_cloud(
+            old.start_idx, new.start_idx)
+        frame_des = []
+        for i in range(old.start_idx + 1, new.start_idx):
+            _, c, _, _ = self.dataset[i]
+            frame_des.append(pr.extract_orb(c))
+        self.lc.compute_baseline(old.anchor_des, frame_des)
+        if len(frags) <= 3:
+            return None
+        corrections = self.lc.compute_correction()
+        if corrections is None:
+            return None
+        if self.verbose:
+            print(f"loop closure at frame {idx}: correcting "
+                  f"{len(frags)} segments")
+        for i, f in enumerate(frags):
+            N = corrections[i]
+            last = i == len(frags) - 1
+            end_idx = frags[i + 1].start_idx if not last else f.start_idx + 1
+            for name in ("npc", "sensor_pts", "reg_points"):
+                a = getattr(f, name)
+                if a is not None and len(a):
+                    setattr(f, name, a @ N[:3, :3].T + N[:3, 3])
+            rng_c2w = self.estimate_c2w[f.start_idx:end_idx]
+            corrected = np.einsum("ij,njk->nik", N, rng_c2w)
+            corrected[:, 3] = [0, 0, 0, 1.0]
+            self.estimate_c2w[f.start_idx:end_idx] = corrected
+            f.anchor_est = self.estimate_c2w[f.start_idx].copy()
+        # device: rigidly move the active segment's points
+        N = jnp.asarray(corrections[-1], jnp.float32)
+        s = self.map_state
+        pos = s.pos @ N[:3, :3].T + N[:3, 3]
+        grid = knn.build(pos, valid_mask(s), self.mopts_map.cell_size,
+                         self.mopts_map.table_size)
+        self.map_state = s._replace(pos=pos, grid=grid)
+        return self.estimate_c2w[frags[-1].start_idx].copy()
+
+    def _build_end_state(self):
+        """Merge all segments (duplicate-averaged) into a fresh device
+        buffer — train_index_global + end=True feats (neural_point.py:
+        1382-1392,1435-1504)."""
+        s = self.map_state
+        cnt = int(s.count)
+        npc = np.asarray(s.pos[:cnt])
+        geo = np.asarray(s.geo[:cnt])
+        col = np.asarray(s.col[:cnt])
+        if len(self.fm.fragments) > 1:
+            npc, geo, col = self.fm.merged_global(npc, geo, col)
+        n = len(npc)
+        cap = max(self.mopts_map.capacity, int(2 ** np.ceil(np.log2(max(n, 2)))))
+        pos = jnp.zeros((cap, 3), jnp.float32).at[:n].set(jnp.asarray(npc))
+        g = jnp.zeros((cap, geo.shape[1]), jnp.float32).at[:n].set(
+            jnp.asarray(geo))
+        c = jnp.zeros((cap, col.shape[1]), jnp.float32).at[:n].set(
+            jnp.asarray(col))
+        count = jnp.asarray(n, jnp.int32)
+        grid = knn.build(pos, jnp.arange(cap) < count,
+                         self.mopts_map.cell_size, self.mopts_map.table_size)
+        self.map_state = MapState(pos=pos, geo=g, col=c, count=count,
+                                  grid=grid, in_pos=s.in_pos,
+                                  in_rgb=s.in_rgb, in_count=s.in_count)
+        if self.verbose:
+            print(f"merged global map: {n} points")
+
+    # ------------------------------------------------------------------
     # Mapping
     # ------------------------------------------------------------------
     def _add_keyframe(self, idx, color, depth, cur_c2w, gt_c2w):
@@ -232,6 +380,14 @@ class LoopySLAM:
         init = idx == 0
         cur_c2w = self.estimate_c2w[idx]
         depth_np = np.asarray(depth)
+
+        # ---------------- submap boundary ----------------
+        new_fragment = False
+        if self.lc_enabled and not color_refine:
+            new_fragment = self.fm.should_start_new(cur_c2w)
+            if new_fragment:
+                self._start_new_segment(idx, cur_c2w, gt_c2w, color_np,
+                                        depth_np)
 
         # ---------------- point insertion ----------------
         frame_pts_add = 0
@@ -282,8 +438,12 @@ class LoopySLAM:
                 print(f"{frame_pts_add} locations to add points "
                       f"(total {int(self.map_state.count)}).")
 
-        # ---------------- loop-closure hook ----------------
-        # (submap registration + PGO; applied here once fragments exist)
+        # ---------------- loop closure ----------------
+        if new_fragment and len(self.fm.fragments) >= 2:
+            corrected = self._apply_loop_closure(idx)
+            if corrected is not None:
+                self.estimate_c2w[idx] = corrected
+                cur_c2w = corrected
 
         # ---------------- frustum feature selection ----------------
         if m["frustum_feature_selection"] and not color_refine:
@@ -294,7 +454,18 @@ class LoopySLAM:
             feat_mask = valid_mask(self.map_state)
 
         # ---------------- keyframe window ----------------
+        refine_window_host = None
         if color_refine:
+            # 'segments' keyframe selection: every fragment anchor + the
+            # current frame (Mapper.py:386-395,402); merged end-state map
+            self._build_end_state()
+            feat_mask = valid_mask(self.map_state)  # (shape may have grown)
+            if self.fm.fragments:
+                refine_window_host = (
+                    np.stack([f.gt_color for f in self.fm.fragments]),
+                    np.stack([f.gt_depth for f in self.fm.fragments]),
+                    np.stack([f.anchor_est for f in self.fm.fragments]),
+                )
             window = list(self.keyframe_global_list)
             pix_per_frame = max(m["pixels"] // 10, 1)
         else:
@@ -312,7 +483,18 @@ class LoopySLAM:
             self.selected_keyframes[idx] = [
                 {"idx": i, "est_c2w": self.kf_est_c2w[i],
                  "gt_c2w": self.kf_gt_c2w[i]} for i in window]
-        kc, kd, kp, krq = self._window(window, color, depth, cur_c2w)
+        if refine_window_host is not None:
+            hc, hd, hp = refine_window_host
+            kc = jnp.concatenate([jnp.asarray(hc), color[None]], axis=0)
+            kd = jnp.concatenate([jnp.asarray(hd), depth[None]], axis=0)
+            kp = jnp.asarray(np.concatenate(
+                [hp, cur_c2w[None]], axis=0).astype(np.float32))
+            krq = None
+            if self.use_dynamic_radius:
+                krq = jnp.broadcast_to(self.cur_r_query[None],
+                                       (kc.shape[0],) + self.cur_r_query.shape)
+        else:
+            kc, kd, kp, krq = self._window(window, color, depth, cur_c2w)
 
         # ---------------- iteration schedule ----------------
         num = m["iters_first"] if init else m["iters"]

@@ -1,0 +1,63 @@
+"""Offline rendering-quality evaluation over saved renders.
+
+Equivalent of reference src/tools/eval_images.py:14-71: masked PSNR,
+MS-SSIM, depth L1 (LPIPS omitted without pretrained weights — see
+utils/metrics.lpips).
+
+CLI: python -m loopy_slam_tpu.tools.eval_images --renders DIR --dataset CFG
+Library: evaluate_renders(pairs) over (render, gt) arrays.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..utils.metrics import depth_l1, masked_psnr, ms_ssim
+
+
+def evaluate_renders(pairs: List[Tuple[np.ndarray, np.ndarray,
+                                       np.ndarray, np.ndarray]]) -> Dict:
+    """pairs: (rendered_color, gt_color, rendered_depth, gt_depth)."""
+    psnrs, ssims, d1s = [], [], []
+    for rc, gc, rd, gd in pairs:
+        mask = gd > 0
+        psnrs.append(masked_psnr(rc, gc, mask))
+        ssims.append(ms_ssim(rc, gc))
+        d1s.append(depth_l1(rd, gd))
+    return {
+        "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
+        "ms_ssim": float(np.mean(ssims)) if ssims else float("nan"),
+        "depth_l1": float(np.nanmean(d1s)) if d1s else float("nan"),
+        "lpips": None,  # requires pretrained weights; see utils/metrics
+        "n_frames": len(pairs),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--renders", required=True,
+                    help="dir with color_XXXXX.npy/depth_XXXXX.npy renders")
+    ap.add_argument("--config", required=True)
+    args = ap.parse_args()
+    from ..config import load_config
+    from ..utils.datasets import get_dataset
+
+    cfg = load_config(args.config)
+    ds = get_dataset(cfg)
+    pairs = []
+    for cpath in sorted(glob.glob(os.path.join(args.renders,
+                                               "color_*.npy"))):
+        idx = int(os.path.basename(cpath)[6:11])
+        dpath = os.path.join(args.renders, f"depth_{idx:05d}.npy")
+        _, gc, gd, _ = ds[idx]
+        pairs.append((np.load(cpath), gc, np.load(dpath), gd))
+    print(evaluate_renders(pairs))
+
+
+if __name__ == "__main__":
+    main()
