@@ -49,9 +49,17 @@ def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def match_score(des_a: Optional[np.ndarray], des_b: Optional[np.ndarray],
                 max_dist: int = 64) -> float:
     """Similarity in [0, 1]: fraction of cross-checked mutual nearest
-    neighbors with Hamming distance < max_dist."""
+    neighbors with Hamming distance < max_dist. Uses the native C++ matcher
+    when available (loopy_slam_tpu/native), numpy popcount otherwise."""
     if des_a is None or des_b is None or len(des_a) == 0 or len(des_b) == 0:
         return 0.0
+    try:
+        from ..native.build import hamming_mutual_match_count
+        good = hamming_mutual_match_count(des_a, des_b, max_dist)
+        if good is not None:
+            return float(good) / max(min(len(des_a), len(des_b)), 1)
+    except Exception:
+        pass
     d = _hamming(des_a, des_b)
     nn_ab = d.argmin(1)
     nn_ba = d.argmin(0)

@@ -1,0 +1,157 @@
+// Native host-side kernels for loopy_slam_tpu.
+//
+// The reference delegated its host-side hot loops to prebuilt C++ libraries
+// (DBoW3 descriptor scoring, Open3D surface extraction — SURVEY.md §2.3).
+// These are this framework's first-party equivalents, exposed through a
+// plain C ABI consumed via ctypes (no pybind11 in the image).
+//
+//   hamming_mutual_matches : brute-force mutual-NN matching of packed
+//       256-bit ORB descriptors (place recognition scoring).
+//   march_tets             : marching-tetrahedra surface extraction over a
+//       dense TSDF grid (6-tet cube decomposition, NaN = unobserved).
+//
+// Build: cc -O3 -march=native -shared -fPIC matcher.cpp -o libloopy.so
+// (driven by loopy_slam_tpu/native/build.py at first import).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// Hamming mutual matching.
+// a: (na, 32) uint8 packed descriptors; b: (nb, 32).
+// out_idx: (na,) int32 — index into b of a's nearest neighbor.
+// out_dist: (na,) int32 — its Hamming distance.
+// Returns the number of mutual matches with distance < max_dist.
+// ---------------------------------------------------------------------
+static inline int hdist(const uint8_t* x, const uint8_t* y) {
+    // 4x 64-bit popcounts over the 32-byte descriptor
+    uint64_t a0, a1, a2, a3, b0, b1, b2, b3;
+    std::memcpy(&a0, x, 8);  std::memcpy(&a1, x + 8, 8);
+    std::memcpy(&a2, x + 16, 8); std::memcpy(&a3, x + 24, 8);
+    std::memcpy(&b0, y, 8);  std::memcpy(&b1, y + 8, 8);
+    std::memcpy(&b2, y + 16, 8); std::memcpy(&b3, y + 24, 8);
+    return __builtin_popcountll(a0 ^ b0) + __builtin_popcountll(a1 ^ b1)
+         + __builtin_popcountll(a2 ^ b2) + __builtin_popcountll(a3 ^ b3);
+}
+
+int hamming_mutual_matches(const uint8_t* a, int na,
+                           const uint8_t* b, int nb,
+                           int max_dist,
+                           int32_t* out_idx, int32_t* out_dist) {
+    std::vector<int32_t> nn_ba(nb, -1);
+    std::vector<int32_t> d_ba(nb, 1 << 30);
+    for (int i = 0; i < na; ++i) {
+        int best = 1 << 30, bj = -1;
+        const uint8_t* ai = a + 32 * i;
+        for (int j = 0; j < nb; ++j) {
+            int d = hdist(ai, b + 32 * j);
+            if (d < best) { best = d; bj = j; }
+            if (d < d_ba[j]) { d_ba[j] = d; nn_ba[j] = i; }
+        }
+        out_idx[i] = bj;
+        out_dist[i] = best;
+    }
+    int good = 0;
+    for (int i = 0; i < na; ++i) {
+        int j = out_idx[i];
+        if (j >= 0 && nn_ba[j] == i && out_dist[i] < max_dist) ++good;
+    }
+    return good;
+}
+
+// ---------------------------------------------------------------------
+// Marching tetrahedra over a dense (X,Y,Z) float32 TSDF where NaN marks
+// unobserved voxels. Emits triangle soup (voxel coordinates).
+// out_tris must hold up to max_tris * 9 floats. Returns triangle count
+// (truncated at max_tris).
+// ---------------------------------------------------------------------
+static const int TETS[6][4] = {
+    {0, 5, 1, 3}, {0, 5, 3, 7}, {0, 5, 7, 4},
+    {0, 7, 3, 2}, {0, 7, 2, 6}, {0, 7, 6, 4},
+};
+static const int CORNER[8][3] = {
+    {0,0,0},{0,0,1},{0,1,0},{0,1,1},{1,0,0},{1,0,1},{1,1,0},{1,1,1},
+};
+
+int march_tets(const float* vol, int X, int Y, int Z,
+               float* out_tris, long max_tris) {
+    long n = 0;
+    auto V = [&](int x, int y, int z) -> float {
+        return vol[(long)(x) * Y * Z + (long)(y) * Z + z];
+    };
+    float cv[8];
+    float px[8], py[8], pz[8];
+    for (int x = 0; x + 1 < X; ++x)
+    for (int y = 0; y + 1 < Y; ++y)
+    for (int z = 0; z + 1 < Z; ++z) {
+        bool ok = true, neg = false, pos = false;
+        for (int c = 0; c < 8; ++c) {
+            float v = V(x + CORNER[c][0], y + CORNER[c][1], z + CORNER[c][2]);
+            if (std::isnan(v)) { ok = false; break; }
+            cv[c] = v;  // inside = v < 0, outside = v >= 0 (0 is outside)
+            if (v < 0) neg = true; else pos = true;
+            px[c] = x + CORNER[c][0];
+            py[c] = y + CORNER[c][1];
+            pz[c] = z + CORNER[c][2];
+        }
+        if (!ok || !neg || !pos) continue;
+        for (int t = 0; t < 6; ++t) {
+            const int* T = TETS[t];
+            int code = 0;
+            for (int k = 0; k < 4; ++k)
+                if (cv[T[k]] < 0) code |= 1 << k;
+            if (code == 0 || code == 15) continue;
+            int ins[4], outs[4], ni = 0, no = 0;
+            for (int k = 0; k < 4; ++k)
+                (code & (1 << k)) ? ins[ni++] = T[k] : outs[no++] = T[k];
+            auto emit_edge = [&](int a2, int b2, float* o) {
+                float va = cv[a2], vb = cv[b2];
+                float tt = va / (va - vb + 1e-12f);
+                o[0] = px[a2] + tt * (px[b2] - px[a2]);
+                o[1] = py[a2] + tt * (py[b2] - py[a2]);
+                o[2] = pz[a2] + tt * (pz[b2] - pz[a2]);
+            };
+            if (ni == 1 || ni == 3) {
+                int apex = (ni == 1) ? ins[0] : outs[0];
+                int* ring = (ni == 1) ? outs : ins;
+                if (n < max_tris) {
+                    float* o = out_tris + n * 9;
+                    emit_edge(ni == 1 ? apex : ring[0],
+                              ni == 1 ? ring[0] : apex, o);
+                    emit_edge(ni == 1 ? apex : ring[1],
+                              ni == 1 ? ring[1] : apex, o + 3);
+                    emit_edge(ni == 1 ? apex : ring[2],
+                              ni == 1 ? ring[2] : apex, o + 6);
+                    ++n;
+                }
+            } else {  // 2 in, 2 out -> quad -> 2 triangles
+                float pac[3], pad[3], pbc[3], pbd[3];
+                emit_edge(ins[0], outs[0], pac);
+                emit_edge(ins[0], outs[1], pad);
+                emit_edge(ins[1], outs[0], pbc);
+                emit_edge(ins[1], outs[1], pbd);
+                if (n < max_tris) {
+                    float* o = out_tris + n * 9;
+                    std::memcpy(o, pac, 12);
+                    std::memcpy(o + 3, pad, 12);
+                    std::memcpy(o + 6, pbd, 12);
+                    ++n;
+                }
+                if (n < max_tris) {
+                    float* o = out_tris + n * 9;
+                    std::memcpy(o, pac, 12);
+                    std::memcpy(o + 3, pbd, 12);
+                    std::memcpy(o + 6, pbc, 12);
+                    ++n;
+                }
+            }
+        }
+    }
+    return (int)n;
+}
+
+}  // extern "C"

@@ -137,6 +137,19 @@ def extract_mesh(grid: TSDFGrid, min_weight: float = 0.0):
         return (np.zeros((0, 3)), np.zeros((0, 3), np.int64),
                 np.zeros((0, 3)))
 
+    # native C++ marching tetrahedra when available (order of magnitude
+    # faster on production-size grids), numpy otherwise
+    try:
+        from ..native.build import march_tets_native
+        tris = march_tets_native(vol)
+    except Exception:
+        tris = None
+    if tris is not None:
+        if len(tris) == 0:
+            return (np.zeros((0, 3)), np.zeros((0, 3), np.int64),
+                    np.zeros((0, 3)))
+        return _weld(tris, colg, origin, voxel)
+
     # corner values for every cube, (X-1, Y-1, Z-1, 8)
     cv = np.empty((X - 1, Y - 1, Z - 1, 8), vol.dtype)
     for c, (dx, dy, dz) in enumerate(_CORNERS):
@@ -145,9 +158,12 @@ def extract_mesh(grid: TSDFGrid, min_weight: float = 0.0):
                                 np.arange(Z - 1), indexing="ij"), -1)
     base = base.reshape(-1, 3).astype(np.float64)
     cv = cv.reshape(-1, 8)
-    # only fully-observed cubes straddling zero matter
-    mixed = (np.isfinite(cv).all(1) & (np.nanmin(cv, 1) < 0)
-             & (np.nanmax(cv, 1) > 0))
+    # only fully-observed cubes straddling zero matter; inside = v < 0,
+    # outside = v >= 0 (an exact 0 — surface through a voxel center — must
+    # count as outside, or such cubes are misclassified as single-sign)
+    with np.errstate(invalid="ignore"):
+        mixed = (np.isfinite(cv).all(1) & (np.nanmin(cv, 1) < 0)
+                 & (np.nanmax(cv, 1) >= 0))
     cv = cv[mixed]
     base = base[mixed]
 
@@ -194,6 +210,11 @@ def extract_mesh(grid: TSDFGrid, min_weight: float = 0.0):
         return (np.zeros((0, 3)), np.zeros((0, 3), np.int64),
                 np.zeros((0, 3)))
     tris = np.concatenate(verts_list, 0)       # (T, 3, 3) in voxel coords
+    return _weld(tris, colg, origin, voxel)
+
+
+def _weld(tris: np.ndarray, colg, origin, voxel):
+    """Weld a triangle soup into an indexed mesh + vertex colors."""
     flat = tris.reshape(-1, 3)
     # weld duplicate vertices
     key = np.round(flat / 1e-4).astype(np.int64)
