@@ -41,6 +41,7 @@ class MapperOptions(NamedTuple):
     w_color_loss: float = 0.1
     frustum_edge: int = -4
     frustum_feature_selection: bool = True
+    encode_exposure: bool = False
     H: int = 680
     W: int = 1200
     fx: float = 600.0
@@ -57,6 +58,7 @@ class MapperOptions(NamedTuple):
             pixels=m["pixels"], w_color_loss=m["w_color_loss"],
             frustum_edge=m["frustum_edge"],
             frustum_feature_selection=m["frustum_feature_selection"],
+            encode_exposure=cfg["model"]["encode_exposure"],
             H=cam["H"] - 2 * e, W=cam["W"] - 2 * e,
             fx=cam["fx"], fy=cam["fy"], cx=cam["cx"] - e, cy=cam["cy"] - e,
         )
@@ -140,9 +142,14 @@ def frustum_feature_mask(map_pos, count, cur_c2w, gt_depth,
 
 def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
               kf_c2w, kf_rq, key, stage, opts: MapperOptions,
-              ropts: RenderOptions, pix_per_frame: int):
+              ropts: RenderOptions, pix_per_frame: int, kf_exposure=None):
     """One mapping iteration's loss over pix_per_frame rays from each of the
-    F stacked keyframes (last = current frame)."""
+    F stacked keyframes (last = current frame).
+
+    With encode_exposure, the renderer defers exposure: per-frame affines
+    (keyframes' fixed latents + the trainable current-frame latent
+    trainable["exp"]) are applied to the composited colors, then sigmoid
+    (reference Mapper.py:696-715)."""
     params = trainable["dec"]
     geo_feats = trainable["geo"]
     col_feats = trainable["col"]
@@ -178,6 +185,16 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
     loss = geo_loss
     col_loss = jnp.zeros(())
     if stage == "color":
+        if opts.encode_exposure:
+            from ..models.decoder import exposure_affine
+
+            latents = jnp.concatenate(
+                [kf_exposure[:-1], trainable["exp"][None]], axis=0)  # (F,8)
+            rots, transs = jax.vmap(
+                lambda e: exposure_affine(params["col"], e))(latents)
+            cf = color.reshape(F, pix_per_frame, 3)
+            cf = jnp.einsum("fpc,fcd->fpd", cf, rots) + transs[:, None, :]
+            color = jax.nn.sigmoid(cf).reshape(-1, 3)
         col_loss = jnp.sum(jnp.where(m[:, None], jnp.abs(c - color), 0.0))
         loss = loss + opts.w_color_loss * col_loss
     return loss, (geo_loss, col_loss, jnp.sum(m).astype(jnp.float32))
@@ -185,30 +202,37 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
 
 @partial(jax.jit, static_argnames=("opts", "ropts", "pix_per_frame",
                                    "use_dynamic_radius"),
-         donate_argnames=("trainable",))
-def optimize_map(trainable, dec_mask, feat_mask, map_pos, grid,
+         donate_argnames=("trainable", "adam_state"))
+def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
                  kf_color, kf_depth, kf_c2w, kf_rq, key,
                  n_geo_iters, n_col_iters, lrs_geo, lrs_col,
                  opts: MapperOptions, ropts: RenderOptions,
-                 pix_per_frame: int, use_dynamic_radius: bool = False):
-    """Run the full geometry->color mapping optimization for one frame.
+                 pix_per_frame: int, use_dynamic_radius: bool = False,
+                 kf_exposure=None):
+    """Run a chunk of the geometry->color mapping optimization.
 
     trainable: {"dec": decoder params, "geo": (cap,c), "col": (cap,c)}
+    adam_state: ops.adam.AdamState over `trainable` (threaded across
+      chunks; the host splits the full iteration budget into chunks so a
+      single XLA program never runs unboundedly long on the device).
     dec_mask:  0/1 pytree over decoder params (models.trainable_mask)
     feat_mask: (cap,) bool — frustum-selected rows
     lrs_geo/lrs_col: (3,) arrays [decoders_lr, geometry_lr, color_lr]
-    Returns (trainable, (geo_loss, col_loss)).
+    Returns (trainable, adam_state, (geo_loss, col_loss, n_rays)).
     """
     if not use_dynamic_radius:
         kf_rq = None
     fm = feat_mask[:, None].astype(jnp.float32)
 
     def masked_grads(g):
-        return {
+        out = {
             "dec": jax.tree.map(lambda x, m: x * m, g["dec"], dec_mask),
             "geo": g["geo"] * fm,
             "col": g["col"] * fm,
         }
+        if "exp" in g:
+            out["exp"] = g["exp"]
+        return out
 
     def phase(stage, n_iters, lrs, carry):
         grad_fn = jax.value_and_grad(_map_loss, has_aux=True)
@@ -218,25 +242,27 @@ def optimize_map(trainable, dec_mask, feat_mask, map_pos, grid,
             k, kiter = jax.random.split(k)
             (loss, aux), g = grad_fn(trainable, None, map_pos, grid,
                                      kf_color, kf_depth, kf_c2w, kf_rq,
-                                     kiter, stage, opts, ropts, pix_per_frame)
+                                     kiter, stage, opts, ropts,
+                                     pix_per_frame, kf_exposure)
             g = masked_grads(g)
             lr_tree = {
                 "dec": jax.tree.map(lambda _: lrs[0], trainable["dec"]),
                 "geo": lrs[1],
                 "col": lrs[2],
             }
+            if "exp" in trainable:
+                lr_tree["exp"] = 0.001  # exposure latent lr (Mapper.py:569)
             trainable, st = adam.update(trainable, g, st, lr_tree)
             return trainable, st, k, aux
 
         return jax.lax.fori_loop(0, n_iters, body, carry)
 
-    st = adam.init(trainable)
     zero_aux = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
-    carry = (trainable, st, key, zero_aux)
+    carry = (trainable, adam_state, key, zero_aux)
     carry = phase("geometry", n_geo_iters, lrs_geo, carry)
     carry = phase("color", n_col_iters, lrs_col, carry)
-    trainable, _, _, aux = carry
-    return trainable, aux
+    trainable, adam_state, _, aux = carry
+    return trainable, adam_state, aux
 
 
 # ---------------------------------------------------------------------------

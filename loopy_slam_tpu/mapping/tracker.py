@@ -44,6 +44,7 @@ class TrackOptions(NamedTuple):
     depth_limit: bool = False
     ignore_edge_W: int = 20
     ignore_edge_H: int = 20
+    encode_exposure: bool = False
     H: int = 680
     W: int = 1200
     fx: float = 600.0
@@ -62,6 +63,7 @@ class TrackOptions(NamedTuple):
             use_color_in_tracking=t["use_color_in_tracking"],
             handle_dynamic=t["handle_dynamic"], depth_limit=t["depth_limit"],
             ignore_edge_W=t["ignore_edge_W"], ignore_edge_H=t["ignore_edge_H"],
+            encode_exposure=cfg["model"]["encode_exposure"],
             H=cam["H"] - 2 * e, W=cam["W"] - 2 * e,
             fx=cam["fx"], fy=cam["fy"],
             cx=cam["cx"] - e, cy=cam["cy"] - e,
@@ -74,12 +76,22 @@ def _lr_vector(opts: TrackOptions) -> jnp.ndarray:
     return jnp.full((7,), opts.lr, jnp.float32)
 
 
-def tracking_loss(cam7, params, map_pos, grid, geo_feats, col_feats,
+def tracking_loss(opt_vars, params, map_pos, grid, geo_feats, col_feats,
                   gt_color, gt_depth, key, opts: TrackOptions,
                   ropts: RenderOptions, sel_i=None, sel_j=None, r_query=None):
-    """Sample pixels, render, compute the tracking loss for pose cam7."""
+    """Sample pixels, render, compute the tracking loss.
+
+    opt_vars: {"cam": pose 7-vector} plus, with encode_exposure,
+    {"exp_feat": (8,), "exp_mlp": exposure-MLP params} (the reference adds
+    both to the camera optimizer at lr 0.001, Tracker.py:329-344)."""
     from ..ops.camera import c2w_from_tensor, rays_from_uv
 
+    cam7 = opt_vars["cam"]
+    exposure_feat = None
+    if opts.encode_exposure:
+        params = {**params, "col": {**params["col"],
+                                    "exposure": opt_vars["exp_mlp"]}}
+        exposure_feat = opt_vars["exp_feat"]
     c2w = c2w_from_tensor(cam7)
     ks, kr = jax.random.split(key)
     if sel_i is not None:
@@ -107,7 +119,8 @@ def tracking_loss(cam7, params, map_pos, grid, geo_feats, col_feats,
 
     depth, var, color, _ = render_batch_ray(
         params, map_pos, grid, geo_feats, col_feats, rays_o, rays_d, d,
-        inside, kr, ropts, "color", r_query=rq)
+        inside, kr, ropts, "color", r_query=rq,
+        exposure_feat=exposure_feat)
 
     var = jax.lax.stop_gradient(var)
     nan_mask = jnp.isfinite(depth) & jnp.isfinite(var)
@@ -129,29 +142,43 @@ def tracking_loss(cam7, params, map_pos, grid, geo_feats, col_feats,
 def track_frame(params, map_pos, grid, geo_feats, col_feats,
                 gt_color, gt_depth, cam7_init, key,
                 opts: TrackOptions, ropts: RenderOptions,
-                sel_i=None, sel_j=None, r_query=None, use_selected=False):
-    """Optimize the camera pose for one frame. Returns
-    (best_cam7, first_loss, best_loss)."""
-    lr = _lr_vector(opts)
+                sel_i=None, sel_j=None, r_query=None, use_selected=False,
+                exposure_feat=None):
+    """Optimize the camera pose (and exposure, if enabled) for one frame.
+    Returns (best_cam7, first_loss, best_loss, exposure_feat', exp_mlp')."""
+    lr_cam = _lr_vector(opts)
     grad_fn = jax.value_and_grad(tracking_loss, has_aux=True)
     si = sel_i if use_selected else None
     sj = sel_j if use_selected else None
 
+    opt_vars = {"cam": cam7_init}
+    lr_tree = {"cam": lr_cam}
+    if opts.encode_exposure:
+        ef = (exposure_feat if exposure_feat is not None
+              else jnp.zeros((params["col"]["exposure"]["w1"].shape[0],)))
+        opt_vars["exp_feat"] = ef
+        opt_vars["exp_mlp"] = params["col"]["exposure"]
+        lr_tree["exp_feat"] = 0.001
+        lr_tree["exp_mlp"] = jax.tree.map(lambda _: 0.001,
+                                          params["col"]["exposure"])
+
     def body(it, carry):
-        cam7, st, best_loss, best_cam, first_loss, k = carry
+        opt_vars, st, best_loss, best_cam, first_loss, k = carry
         k, kiter = jax.random.split(k)
-        (loss, _aux), g = grad_fn(cam7, params, map_pos, grid, geo_feats,
+        (loss, _aux), g = grad_fn(opt_vars, params, map_pos, grid, geo_feats,
                                   col_feats, gt_color, gt_depth, kiter,
                                   opts, ropts, si, sj, r_query)
-        cam7_new, st = adam.update(cam7, g, st, lr)
+        opt_vars, st = adam.update(opt_vars, g, st, lr_tree)
         better = loss < best_loss
         best_loss = jnp.where(better, loss, best_loss)
-        best_cam = jnp.where(better, cam7_new, best_cam)
+        best_cam = jnp.where(better, opt_vars["cam"], best_cam)
         first_loss = jnp.where(it == 0, loss, first_loss)
-        return cam7_new, st, best_loss, best_cam, first_loss, k
+        return opt_vars, st, best_loss, best_cam, first_loss, k
 
-    init = (cam7_init, adam.init(cam7_init), jnp.inf, cam7_init,
+    init = (opt_vars, adam.init(opt_vars), jnp.inf, cam7_init,
             jnp.zeros(()), key)
-    _, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(
+    opt_vars, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(
         0, opts.iters, body, init)
-    return best_cam, first_loss, best_loss
+    ef_out = opt_vars.get("exp_feat")
+    mlp_out = opt_vars.get("exp_mlp")
+    return best_cam, first_loss, best_loss, ef_out, mlp_out

@@ -131,6 +131,9 @@ class LoopySLAM:
         self.prev_mapped_c2w = None  # est c2w of previous mapping frame
         self.cur_r_add = None
         self.cur_r_query = None
+        self.encode_exposure = cfg["model"]["encode_exposure"]
+        self.exposure_feat = jnp.zeros((cfg["model"]["exposure_dim"],))
+        self.kf_exposure: Dict[int, np.ndarray] = {}
         self.timings: Dict[str, List[float]] = {"track": [], "map": []}
 
         # submaps + loop closure
@@ -196,11 +199,18 @@ class LoopySLAM:
 
         self.key, kt = jax.random.split(self.key)
         s = self.map_state
-        best_cam, first_loss, best_loss = tracker_mod.track_frame(
+        best_cam, first_loss, best_loss, ef, exp_mlp = tracker_mod.track_frame(
             self.params, s.pos, s.grid, s.geo, s.col, color, depth, cam7, kt,
             self.topts, self.ropts_tracker,
             sel_i=sel_i, sel_j=sel_j, r_query=self.cur_r_query,
-            use_selected=use_selected)
+            use_selected=use_selected,
+            exposure_feat=self.exposure_feat if self.encode_exposure else None)
+        if self.encode_exposure and ef is not None:
+            # tracker co-optimizes the exposure latent and MLP
+            # (Tracker.py:329-344); both are shared with the mapper
+            self.exposure_feat = ef
+            self.params = {**self.params,
+                           "col": {**self.params["col"], "exposure": exp_mlp}}
         if self.verbose:
             print(f"idx:{idx}, re-rendering loss: "
                   f"{float(first_loss):.2f}->{float(best_loss):.2f}")
@@ -290,6 +300,12 @@ class LoopySLAM:
         if self.verbose:
             print(f"loop closure at frame {idx}: correcting "
                   f"{len(frags)} segments")
+        # trajectory snapshots around the PGO (neural_point.py:149-150,
+        # 229-231; consumed by the mesh-video tool and diagnostics)
+        seg_i = len(frags) - 1
+        save_checkpoint(
+            os.path.join(self.output, "ckpts", f"{seg_i:05d}_before_pgo.pkl"),
+            {"estimate_c2w_list": self.estimate_c2w.copy()})
         for i, f in enumerate(frags):
             N = corrections[i]
             last = i == len(frags) - 1
@@ -310,6 +326,9 @@ class LoopySLAM:
         grid = knn.build(pos, valid_mask(s), self.mopts_map.cell_size,
                          self.mopts_map.table_size)
         self.map_state = s._replace(pos=pos, grid=grid)
+        save_checkpoint(
+            os.path.join(self.output, "ckpts", f"{seg_i:05d}_after_pgo.pkl"),
+            {"estimate_c2w_list": self.estimate_c2w.copy()})
         return self.estimate_c2w[frags[-1].start_idx].copy()
 
     def _build_end_state(self):
@@ -356,6 +375,8 @@ class LoopySLAM:
             self.kf_rq = self.kf_rq.at[slot].set(self.cur_r_query)
         self.kf_est_c2w[idx] = cur_c2w.copy()
         self.kf_gt_c2w[idx] = gt_c2w.copy()
+        if self.encode_exposure:
+            self.kf_exposure[idx] = np.asarray(self.exposure_feat)
 
     def _window(self, kf_indices: List[int], color, depth, cur_c2w):
         """Stack the optimization window: selected keyframes + current."""
@@ -525,16 +546,42 @@ class LoopySLAM:
 
         trainable = {"dec": self.params, "geo": self.map_state.geo,
                      "col": self.map_state.col}
-        self.key, km = jax.random.split(self.key)
+        kf_exposure = None
+        if self.encode_exposure:
+            dim = self.exposure_feat.shape[0]
+            zeros = np.zeros(dim, np.float32)
+            if refine_window_host is not None:
+                src = [f.start_idx for f in self.fm.fragments]
+            else:
+                src = window
+            feats = [np.asarray(self.kf_exposure.get(i, zeros))
+                     for i in src] + [np.asarray(self.exposure_feat)]
+            kf_exposure = jnp.asarray(np.stack(feats))
+            trainable["exp"] = self.exposure_feat
+        from .ops import adam as adam_mod
+
+        # chunk the optimization so a single device program stays bounded
+        # (long single executions can trip runtime watchdogs); Adam state
+        # threads across chunks, so the result is identical to one program
+        chunk = int(self.cfg["mapping"].get("device_chunk_iters", 100))
         outer = 5 if color_refine else 1
         for _ in range(outer):
-            self.key, km = jax.random.split(self.key)
-            trainable, aux = mapper_mod.optimize_map(
-                trainable, dec_mask, feat_mask, self.map_state.pos,
-                self.map_state.grid, kc, kd, kp, krq, km,
-                jnp.asarray(n_geo), jnp.asarray(n_col), lrs_geo, lrs_col,
-                self.mopts, self.ropts_mapper, pix_per_frame,
-                self.use_dynamic_radius)
+            st = adam_mod.init(trainable)
+            done_geo, done_col = 0, 0
+            while done_geo + done_col < n_geo + n_col:
+                g = min(chunk, n_geo - done_geo)
+                c = min(chunk - g, n_col - done_col)
+                self.key, km = jax.random.split(self.key)
+                trainable, st, aux = mapper_mod.optimize_map(
+                    trainable, st, dec_mask, feat_mask, self.map_state.pos,
+                    self.map_state.grid, kc, kd, kp, krq, km,
+                    jnp.asarray(g), jnp.asarray(c), lrs_geo, lrs_col,
+                    self.mopts, self.ropts_mapper, pix_per_frame,
+                    self.use_dynamic_radius, kf_exposure)
+                done_geo += g
+                done_col += c
+        if self.encode_exposure:
+            self.exposure_feat = trainable["exp"]
         self.params = trainable["dec"]
         self.map_state = self.map_state._replace(geo=trainable["geo"],
                                                  col=trainable["col"])

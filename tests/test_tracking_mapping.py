@@ -35,8 +35,10 @@ def build_mapped_scene(cfg, n_iters=120):
     kp = jnp.asarray(c2w)[None]
     lrs_geo = jnp.asarray([0.001, 0.03, 0.0])
     lrs_col = jnp.asarray([0.005, 0.005, 0.005])
-    trainable, aux = mapper_mod.optimize_map(
-        trainable, dec_mask, valid_mask(state), state.pos, state.grid,
+    from loopy_slam_tpu.ops import adam as adam_mod
+    st = adam_mod.init(trainable)
+    trainable, st, aux = mapper_mod.optimize_map(
+        trainable, st, dec_mask, valid_mask(state), state.pos, state.grid,
         kc, kd, kp, None, jax.random.PRNGKey(2),
         jnp.asarray(n_iters // 2), jnp.asarray(n_iters // 2),
         lrs_geo, lrs_col, mopts, ropts, 300, False)
@@ -71,7 +73,7 @@ def test_tracking_recovers_perturbed_pose(cfg):
     pert[4:] += np.array([0.02, -0.015, 0.02], np.float32)   # 2 cm offset
     pert[:4] += np.array([0.0, 0.01, -0.01, 0.01], np.float32)
 
-    best, first_loss, best_loss = tracker_mod.track_frame(
+    best, first_loss, best_loss, _ef, _em = tracker_mod.track_frame(
         params, state.pos, state.grid, state.geo, state.col,
         color, depth, jnp.asarray(pert), jax.random.PRNGKey(5),
         topts, ropts_t)
