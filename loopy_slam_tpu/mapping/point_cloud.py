@@ -176,14 +176,23 @@ def sample_near_pcl_z_vals(state: MapState, opts: MapOptions,
     neighbor, and place `num` samples between them; rays with fewer than two
     occupied probes fall back to uniform [near, far] and are flagged invalid.
     """
+    return sample_near_pcl_z_vals_raw(state.pos, state.grid, rays_o, rays_d,
+                                      near, far, num, opts.radius_query,
+                                      opts.nn_num, opts.table_size,
+                                      opts.max_per_cell)
+
+
+def sample_near_pcl_z_vals_raw(pos, grid, rays_o, rays_d, near, far,
+                               num: int, radius_query, nn_num: int,
+                               table_size: int, max_per_cell: int):
     R = rays_o.shape[0]
     intervals = 25
-    z_probe = jnp.linspace(near, far, intervals)
+    t = jnp.linspace(0.0, 1.0, intervals)
+    z_probe = near * (1.0 - t) + far * t  # far may be traced
     pts = (rays_o[:, None, :] + rays_d[:, None, :] * z_probe[None, :, None]
            ).reshape(-1, 3)
-    _, _, nn_count = knn.query(state.grid, state.pos, pts, opts.nn_num,
-                               opts.radius_query, opts.table_size,
-                               opts.max_per_cell)
+    _, _, nn_count = knn.query(grid, pos, pts, nn_num, radius_query,
+                               table_size, max_per_cell)
     occupied = (nn_count > 0).reshape(R, intervals)
     n_occ = jnp.sum(occupied, axis=-1)
     invalid = n_occ < 2

@@ -152,6 +152,22 @@ def render_batch_ray(params, map_pos, grid, geo_feats, col_feats,
     S = opts.n_surface
     z_vals = surface_z_vals(gt_depth, ray_valid, S, opts.near_end_surface,
                             opts.far_end_surface, opts.near_end)
+    mask_rays_near_pcl = jnp.ones((R,), bool)
+    if opts.sample_near_pcl and z_vals_override is None:
+        # zero-depth rays sample where the point cloud actually lies
+        # (Renderer.py:151-160 + neural_point.sample_near_pcl); rays with
+        # <2 occupied probe depths are flagged invalid
+        from ..ops.masked import masked_max
+        from ..mapping.point_cloud import sample_near_pcl_z_vals_raw
+
+        far = jnp.maximum(masked_max(
+            z_vals[:, -1], ray_valid & (gt_depth > 0), fill=0.0), 1.0)
+        z_near, invalid = sample_near_pcl_z_vals_raw(
+            map_pos, grid, rays_o, rays_d, opts.near_end, far, S,
+            opts.radius_query, opts.nn_num, opts.table_size,
+            opts.max_per_cell)
+        z_vals_override = z_near
+        mask_rays_near_pcl = jnp.where(gt_depth > 0, True, ~invalid)
     if z_vals_override is not None:
         z_vals = jnp.where((gt_depth > 0)[:, None], z_vals, z_vals_override)
     pts = pixels_to_points(rays_o, rays_d, z_vals).reshape(-1, 3)
@@ -169,7 +185,7 @@ def render_batch_ray(params, map_pos, grid, geo_feats, col_feats,
 
     valid_ray = (
         jnp.sum(has_neighbors.reshape(R, S), axis=-1) >= (S // 2 + 1)
-    )
+    ) & mask_rays_near_pcl
     depth, depth_var, color, _ = composite(
         rgb.reshape(R, S, 3), occ.reshape(R, S), z_vals, opts.sigmoid_coef)
     if not opts.sample_near_pcl:

@@ -405,7 +405,15 @@ class LoopySLAM:
         # ---------------- submap boundary ----------------
         new_fragment = False
         if self.lc_enabled and not color_refine:
-            new_fragment = self.fm.should_start_new(cur_c2w)
+            if self.cfg["mapping"]["segment_strategy"] == "fixed":
+                # fixed-size segments (check_new_fragment 'fixed',
+                # Mapper.py:338-341)
+                size = self.cfg["mapping"]["fixed_segment_size"]
+                new_fragment = (not self.fm.fragments) or (
+                    idx % size == 0
+                    and idx != self.fm.fragments[-1].start_idx)
+            else:
+                new_fragment = self.fm.should_start_new(cur_c2w)
             if new_fragment:
                 self._start_new_segment(idx, cur_c2w, gt_c2w, color_np,
                                         depth_np)
@@ -494,10 +502,15 @@ class LoopySLAM:
             window = []
             if len(self.keyframe_list) > 1:
                 cand = self.keyframe_list[:-1]
-                sel = mapper_mod.keyframe_selection_overlap(
-                    self.nprng, depth_np, cur_c2w,
-                    [self.kf_est_c2w[i] for i in cand], k, self.mopts)
-                window = [cand[s] for s in sel]
+                method = self.cfg["mapping"]["keyframe_selection_method"]
+                if method == "global":
+                    # most recent k keyframes (Mapper.py:377-381)
+                    window = cand[max(0, len(cand) - k):]
+                else:  # 'overlap'
+                    sel = mapper_mod.keyframe_selection_overlap(
+                        self.nprng, depth_np, cur_c2w,
+                        [self.kf_est_c2w[i] for i in cand], k, self.mopts)
+                    window = [cand[s] for s in sel]
             if self.keyframe_list:
                 window = window + [self.keyframe_list[-1]]
             pix_per_frame = max(m["pixels"] // (len(window) + 1), 1)
@@ -677,6 +690,75 @@ class LoopySLAM:
             "gt_c2w": self.gt_c2w[:idx + 1],
             "n_points": int(self.map_state.count),
         }
+
+    # ------------------------------------------------------------------
+    def final_eval(self, every: Optional[int] = None, save_renders=True,
+                   gt_mesh=None, n_2d_views=100):
+        """End-of-run evaluation (reference Mapper.py:1056-1218 + tools):
+        re-render every Nth frame at the estimated poses -> PSNR / MS-SSIM /
+        depth-L1; TSDF-fuse the renders into a mesh; if a ground-truth mesh
+        is available (synthetic scenes provide one analytically) compute
+        accuracy/completion/ratio/F-score and virtual-view depth-L1."""
+        from .tools.eval_images import evaluate_renders
+        from .tools.get_mesh_tsdf_fusion import mesh_from_renders
+        from .utils.io import write_ply_mesh
+
+        every = every or self.every_frame
+        rdir = os.path.join(self.output, "rendered_every_frame")
+        os.makedirs(rdir, exist_ok=True)
+        pairs, renders, poses = [], [], []
+        for idx in range(0, self.n_img, every):
+            _, gc, gd, _ = self.dataset[idx]
+            rq = None
+            if self.use_dynamic_radius:
+                _, rq = self._dynamic_radius(gc)
+            depth, color = self.render_img(self.estimate_c2w[idx], gd,
+                                           r_query_map=rq)
+            pairs.append((color, gc, depth, gd))
+            renders.append((color.astype(np.float32),
+                            depth.astype(np.float32)))
+            poses.append(self.estimate_c2w[idx])
+            if save_renders:
+                np.save(os.path.join(rdir, f"color_{idx:05d}.npy"), color)
+                np.save(os.path.join(rdir, f"depth_{idx:05d}.npy"), depth)
+        render_stats = evaluate_renders(pairs)
+        if self.verbose:
+            print("render metrics:", render_stats)
+
+        recon_stats = {}
+        if self.cfg["meshing"]["eval_rec"]:
+            cam = {"fx": self.fx, "fy": self.fy, "cx": self.cx,
+                   "cy": self.cy, "H": self.H, "W": self.W}
+            voxel = self.cfg["meshing"].get("mesh_voxel", 0.02)
+            verts, faces, colors = mesh_from_renders(
+                renders, poses, cam, voxel=voxel)
+            os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
+            write_ply_mesh(os.path.join(self.output, "mesh",
+                                        "final_mesh.ply"),
+                           verts, faces, colors)
+            if gt_mesh is None and hasattr(self.dataset, "gt_mesh"):
+                gt_mesh = self.dataset.gt_mesh()
+            if gt_mesh is not None and len(faces):
+                from .tools.cull_mesh import cull_mesh
+                from .tools.eval_recon import calc_2d_metric, calc_3d_metric
+
+                # evaluate against the gt surface actually observed by the
+                # trajectory (the reference evaluates culled gt meshes,
+                # src/tools/cull_mesh.py)
+                gv, gf, _ = cull_mesh(gt_mesh[0], gt_mesh[1],
+                                      [self.gt_c2w[i] for i in
+                                       range(0, self.n_img, every)],
+                                      {"H": self.H, "W": self.W,
+                                       "fx": self.fx, "fy": self.fy,
+                                       "cx": self.cx, "cy": self.cy})
+                gt_mesh = (gv, gf)
+                recon_stats = calc_3d_metric((verts, faces), gt_mesh)
+                recon_stats.update(calc_2d_metric(
+                    (verts, faces), gt_mesh, cam,
+                    self.estimate_c2w[:self.n_img], n_views=n_2d_views))
+                if self.verbose:
+                    print("reconstruction metrics:", recon_stats)
+        return {**render_stats, **recon_stats}
 
     # ------------------------------------------------------------------
     def finalize(self, last_idx):

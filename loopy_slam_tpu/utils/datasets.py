@@ -280,6 +280,32 @@ class Synthetic(BaseDataset):
         color, depth = self._cache[index]
         return index, color, depth, self.poses[index].astype(np.float32)
 
+    def gt_mesh(self, divisions: int = 60):
+        """Analytic ground-truth mesh of the box interior (inward faces),
+        for reconstruction evaluation without downloads."""
+        lo, hi = self.box_lo, self.box_hi
+        verts_all, faces_all = [], []
+        n0 = 0
+        for axis in range(3):
+            for side, val in ((0, lo[axis]), (1, hi[axis])):
+                a, b = [i for i in range(3) if i != axis]
+                ua = np.linspace(lo[a], hi[a], divisions)
+                ub = np.linspace(lo[b], hi[b], divisions)
+                A, B = np.meshgrid(ua, ub, indexing="ij")
+                V = np.zeros((divisions, divisions, 3))
+                V[..., axis] = val
+                V[..., a] = A
+                V[..., b] = B
+                verts_all.append(V.reshape(-1, 3))
+                idx = np.arange(divisions * divisions).reshape(
+                    divisions, divisions)
+                q = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:],
+                              idx[1:, 1:]], -1).reshape(-1, 4)
+                faces_all.append(n0 + np.concatenate(
+                    [q[:, [0, 1, 2]], q[:, [1, 3, 2]]], 0))
+                n0 += divisions * divisions
+        return np.concatenate(verts_all), np.concatenate(faces_all)
+
 
 dataset_dict = {
     "replica": Replica,

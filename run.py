@@ -45,11 +45,16 @@ def main():
     slam = LoopySLAM(cfg, output=cfg["data"]["output"])
     result = slam.run(stop=cfg.get("stop", 0))
 
-    # end-of-run ATE summary (full eval lives in loopy_slam_tpu/tools/)
+    # end-of-run evaluation (reference Mapper.py:1056-1218): ATE, render
+    # metrics, mesh reconstruction metrics
     from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
     stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
     print("ATE RMSE (aligned, m):", stats["rmse"])
     print("ATE RMSE (no-align, m):", stats["rmse_no_align"])
+    if not cfg.get("stop") and (cfg["rendering"]["eval_img"]
+                                or cfg["meshing"]["eval_rec"]):
+        eval_stats = slam.final_eval()
+        print("final eval:", eval_stats)
 
 
 if __name__ == "__main__":
