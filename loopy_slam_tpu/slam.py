@@ -378,20 +378,35 @@ class LoopySLAM:
         if self.encode_exposure:
             self.kf_exposure[idx] = np.asarray(self.exposure_feat)
 
-    def _window(self, kf_indices: List[int], color, depth, cur_c2w):
-        """Stack the optimization window: selected keyframes + current."""
-        slots = jnp.asarray([self.kf_slot_of_idx[i] for i in kf_indices],
-                            jnp.int32) if kf_indices else jnp.zeros((0,), jnp.int32)
-        kc = jnp.concatenate([jnp.take(self.kf_color, slots, axis=0),
-                              color[None]], axis=0)
-        kd = jnp.concatenate([jnp.take(self.kf_depth, slots, axis=0),
-                              depth[None]], axis=0)
-        poses = [self.kf_est_c2w[i] for i in kf_indices] + [cur_c2w]
+    def _window(self, sources: List[Optional[int]], color, depth, cur_c2w):
+        """Stack the optimization window. `sources` entries are keyframe
+        frame-indices, or None for the current frame.
+
+        The list is padded to a FIXED length upstream so the mapping program
+        compiles once: a growing window would recompile optimize_map for
+        every distinct size, which dominates wall-time on remote-compile
+        TPU runtimes. Padding repeats window entries cyclically, keeping the
+        sampling distribution over frames approximately the reference's
+        equal-share-per-frame (Mapper.py:419-420).
+        """
+        n_slots = self.kf_color.shape[0]
+        idxs = jnp.asarray([self.kf_slot_of_idx.get(i, n_slots - 1)
+                            if i is not None else -1 for i in sources],
+                           jnp.int32)
+        is_cur = (idxs < 0)[:, None, None]
+        kc = jnp.where(is_cur[..., None],
+                       color[None],
+                       jnp.take(self.kf_color, jnp.maximum(idxs, 0), axis=0))
+        kd = jnp.where(is_cur, depth[None],
+                       jnp.take(self.kf_depth, jnp.maximum(idxs, 0), axis=0))
+        poses = [cur_c2w if i is None else self.kf_est_c2w[i]
+                 for i in sources]
         kp = jnp.asarray(np.stack(poses).astype(np.float32))
         krq = None
         if self.use_dynamic_radius:
-            krq = jnp.concatenate([jnp.take(self.kf_rq, slots, axis=0),
-                                   self.cur_r_query[None]], axis=0)
+            krq = jnp.where(is_cur, self.cur_r_query[None],
+                            jnp.take(self.kf_rq, jnp.maximum(idxs, 0),
+                                     axis=0))
         return kc, kd, kp, krq
 
     def map_frame(self, idx, color, depth, gt_c2w, color_np,
@@ -495,7 +510,7 @@ class LoopySLAM:
                     np.stack([f.gt_depth for f in self.fm.fragments]),
                     np.stack([f.anchor_est for f in self.fm.fragments]),
                 )
-            window = list(self.keyframe_global_list)
+            window = list(self.keyframe_global_list) + [None]
             pix_per_frame = max(m["pixels"] // 10, 1)
         else:
             k = self.mapping_window_size - 2
@@ -513,10 +528,17 @@ class LoopySLAM:
                     window = [cand[s] for s in sel]
             if self.keyframe_list:
                 window = window + [self.keyframe_list[-1]]
-            pix_per_frame = max(m["pixels"] // (len(window) + 1), 1)
             self.selected_keyframes[idx] = [
                 {"idx": i, "est_c2w": self.kf_est_c2w[i],
                  "gt_c2w": self.kf_gt_c2w[i]} for i in window]
+            # pad to a fixed window so optimize_map compiles once; the
+            # current frame must stay LAST (its exposure latent is the
+            # trainable one)
+            base: List[Optional[int]] = list(window) + [None]
+            n_pad = max(self.mapping_window_size - len(base), 0)
+            pads = [base[i % len(base)] for i in range(n_pad)]
+            window = list(window) + pads + [None]
+            pix_per_frame = max(m["pixels"] // len(window), 1)
         if refine_window_host is not None:
             hc, hd, hp = refine_window_host
             kc = jnp.concatenate([jnp.asarray(hc), color[None]], axis=0)
@@ -566,9 +588,11 @@ class LoopySLAM:
             if refine_window_host is not None:
                 src = [f.start_idx for f in self.fm.fragments]
             else:
-                src = window
-            feats = [np.asarray(self.kf_exposure.get(i, zeros))
-                     for i in src] + [np.asarray(self.exposure_feat)]
+                src = window[:-1]  # last = current (trainable latent)
+            cur = np.asarray(self.exposure_feat)
+            feats = [(cur if i is None
+                      else np.asarray(self.kf_exposure.get(i, zeros)))
+                     for i in src] + [cur]
             kf_exposure = jnp.asarray(np.stack(feats))
             trainable["exp"] = self.exposure_feat
         from .ops import adam as adam_mod
