@@ -25,15 +25,20 @@ def hat(w):
 
 
 def so3_exp(phi):
-    """(...,3) -> (...,3,3) rotation, Rodrigues with Taylor fallback."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
-    th = theta[..., None]
+    """(...,3) -> (...,3,3) rotation, Rodrigues with Taylor fallback.
+
+    Differentiable at phi = 0: the angle is computed through a
+    double-where so the exact branch never sees theta = 0 (whose sqrt/div
+    would poison gradients with NaN even when unselected).
+    """
+    theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
+    small = theta2 < 1e-10
+    th = jnp.sqrt(jnp.where(small, 1.0, theta2))
     K = hat(phi)
     K2 = K @ K
     # sin(t)/t and (1-cos t)/t^2 with stable small-angle expansions
-    a = jnp.where(th < 1e-5, 1.0 - th**2 / 6.0, jnp.sin(th) / (th + _EPS))
-    b = jnp.where(th < 1e-5, 0.5 - th**2 / 24.0,
-                  (1.0 - jnp.cos(th)) / (th**2 + _EPS))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(th)) / (th * th))
     eye = jnp.broadcast_to(jnp.eye(3), K.shape)
     return eye + a * K + b * K2
 
@@ -54,13 +59,15 @@ def so3_log(R):
 
 
 def _V(phi):
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)[..., None]
+    theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
+    small = theta2 < 1e-10
+    th = jnp.sqrt(jnp.where(small, 1.0, theta2))
     K = hat(phi)
     K2 = K @ K
-    b = jnp.where(theta < 1e-5, 0.5 - theta**2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / (theta**2 + _EPS))
-    c = jnp.where(theta < 1e-5, 1.0 / 6.0 - theta**2 / 120.0,
-                  (theta - jnp.sin(theta)) / (theta**3 + _EPS))
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(th)) / (th * th))
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (th - jnp.sin(th)) / (th * th * th))
     eye = jnp.broadcast_to(jnp.eye(3), K.shape)
     return eye + b * K + c * K2
 

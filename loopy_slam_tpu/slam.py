@@ -132,6 +132,7 @@ class LoopySLAM:
         self.cur_r_add = None
         self.cur_r_query = None
         self.encode_exposure = cfg["model"]["encode_exposure"]
+        self._prev_frame = None  # (color, depth) for the visual odometer
         self.exposure_feat = jnp.zeros((cfg["model"]["exposure_dim"],))
         self.kf_exposure: Dict[int, np.ndarray] = {}
         self.timings: Dict[str, List[float]] = {"track": [], "map": []}
@@ -180,6 +181,16 @@ class LoopySLAM:
         if t["const_speed_assumption"] and idx >= 2:
             delta = pre @ np.linalg.inv(self.estimate_c2w[idx - 2])
             init_c2w = delta @ pre
+        elif t["visual_odometer"] and idx >= 2 and self._prev_frame is not None:
+            # direct RGBD odometry as the motion model
+            # (reference Tracker.py:304-309 via Open3D hybrid odometry)
+            from .ops.odometry import rgbd_odometry
+
+            pc, pd = self._prev_frame
+            T = np.asarray(rgbd_odometry(
+                pc, pd, color, depth,
+                (self.fx, self.fy, self.cx, self.cy)))
+            init_c2w = pre @ np.linalg.inv(T)
         else:
             init_c2w = pre
         cam7 = jnp.asarray(tensor_from_c2w(init_c2w))
@@ -704,6 +715,9 @@ class LoopySLAM:
                         print("color_refine")
                     self.map_frame(idx, color, depth, gt_c2w, color_np,
                                    color_refine=True)
+
+            if self.cfg["tracking"]["visual_odometer"]:
+                self._prev_frame = (color, depth)
 
             if stop and idx != 0 and idx % stop == 0:
                 break

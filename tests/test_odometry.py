@@ -1,0 +1,27 @@
+import jax.numpy as jnp
+import numpy as np
+
+from conftest import small_cfg
+from loopy_slam_tpu.ops.odometry import rgbd_odometry
+from loopy_slam_tpu.utils.datasets import Synthetic
+
+
+def test_rgbd_odometry_recovers_motion():
+    cfg = small_cfg()
+    cfg["cam"].update({"H": 120, "W": 160, "fx": 120.0, "fy": 120.0,
+                       "cx": 79.5, "cy": 59.5})
+    ds = Synthetic(cfg)
+    _, c0, d0, p0 = ds[0]
+    _, c1, d1, p1 = ds[2]
+    intr = (cfg["cam"]["fx"], cfg["cam"]["fy"],
+            cfg["cam"]["cx"], cfg["cam"]["cy"])
+    T = np.asarray(rgbd_odometry(jnp.asarray(c0), jnp.asarray(d0),
+                                 jnp.asarray(c1), jnp.asarray(d1), intr))
+    # ground truth: p_cam1 = inv(p1) p0 p_cam0
+    T_gt = np.linalg.inv(p1) @ p0
+    err_t = np.abs(T[:3, 3] - T_gt[:3, 3])
+    err_R = np.abs(T[:3, :3] - T_gt[:3, :3]).max()
+    base = np.abs(T_gt[:3, 3]).sum()
+    assert base > 0.01  # frames actually moved
+    assert err_t.max() < 0.01, (T, T_gt)
+    assert err_R < 0.02, (T, T_gt)
