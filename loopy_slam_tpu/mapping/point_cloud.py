@@ -94,7 +94,8 @@ def init_map(opts: MapOptions) -> MapState:
         geo=jnp.zeros((cap, c), jnp.float32),
         col=jnp.zeros((cap, c), jnp.float32),
         count=jnp.zeros((), jnp.int32),
-        grid=knn.build(pos, valid, opts.cell_size, opts.table_size),
+        grid=knn.build(pos, valid, opts.cell_size, opts.table_size,
+                       opts.max_per_cell),
         in_pos=jnp.zeros((opts.input_capacity, 3), jnp.float32),
         in_rgb=jnp.zeros((opts.input_capacity, 3), jnp.float32),
         in_count=jnp.zeros((), jnp.int32),
@@ -162,7 +163,7 @@ def add_points(state: MapState, opts: MapOptions, key,
     in_count = jnp.minimum(state.in_count + n_loc, opts.input_capacity)
 
     grid = knn.build(pos, jnp.arange(cap) < count, opts.cell_size,
-                     opts.table_size)
+                     opts.table_size, opts.max_per_cell)
     return MapState(pos=pos, geo=geo, col=col, count=count, grid=grid,
                     in_pos=in_pos, in_rgb=in_rgb, in_count=in_count), n_loc
 

@@ -262,7 +262,8 @@ class LoopySLAM:
             state = state._replace(
                 grid=knn.build(state.pos, valid_mask(state),
                                self.mopts_map.cell_size,
-                               self.mopts_map.table_size),
+                               self.mopts_map.table_size,
+                               self.mopts_map.max_per_cell),
                 in_pos=s.in_pos, in_rgb=s.in_rgb, in_count=s.in_count)
             self.map_state = state
             self.keyframe_list = []  # local keyframes reset (Mapper.py:906)
@@ -335,7 +336,8 @@ class LoopySLAM:
         s = self.map_state
         pos = s.pos @ N[:3, :3].T + N[:3, 3]
         grid = knn.build(pos, valid_mask(s), self.mopts_map.cell_size,
-                         self.mopts_map.table_size)
+                         self.mopts_map.table_size,
+                         self.mopts_map.max_per_cell)
         self.map_state = s._replace(pos=pos, grid=grid)
         save_checkpoint(
             os.path.join(self.output, "ckpts", f"{seg_i:05d}_after_pgo.pkl"),
@@ -362,7 +364,8 @@ class LoopySLAM:
             jnp.asarray(col))
         count = jnp.asarray(n, jnp.int32)
         grid = knn.build(pos, jnp.arange(cap) < count,
-                         self.mopts_map.cell_size, self.mopts_map.table_size)
+                         self.mopts_map.cell_size, self.mopts_map.table_size,
+                         self.mopts_map.max_per_cell)
         self.map_state = MapState(pos=pos, geo=g, col=c, count=count,
                                   grid=grid, in_pos=s.in_pos,
                                   in_rgb=s.in_rgb, in_count=s.in_count)
@@ -688,7 +691,13 @@ class LoopySLAM:
     # ------------------------------------------------------------------
     def run(self, stop: Optional[int] = None):
         stop = stop or self.cfg.get("stop") or 0
+        progress = os.environ.get("LOOPY_PROGRESS")
         for idx in range(self.n_img):
+            if progress:
+                import sys
+                print(f"[frame {idx}/{self.n_img} "
+                      f"t={time.perf_counter():.0f}]",
+                      file=sys.stderr, flush=True)
             _, color_np, depth_np, gt_c2w = self.dataset[idx]
             color = jnp.asarray(color_np)
             depth = jnp.asarray(depth_np)
@@ -723,6 +732,21 @@ class LoopySLAM:
                 break
 
         self.finalize(idx)
+        if self.verbose:
+            # per-phase timing report (reference prints registration/PGO
+            # stats at exit, Mapper.py:1051-1055)
+            reg, pgo = self.lc.registration_times, self.lc.pgo_times
+            print(f"number of pgos: {len(pgo)}, average time per pgo: "
+                  f"{np.mean(pgo) if pgo else float('nan'):.3f}s")
+            print(f"number of registration rounds: {len(reg)}, average: "
+                  f"{np.mean(reg) if reg else float('nan'):.3f}s")
+            tr, mp = self.timings['track'], self.timings['map']
+            if tr:
+                print(f"tracking: n={len(tr)} median "
+                      f"{np.median(tr)*1e3:.0f} ms")
+            if mp:
+                print(f"mapping:  n={len(mp)} median "
+                      f"{np.median(mp)*1e3:.0f} ms")
         return {
             "estimate_c2w": self.estimate_c2w[:idx + 1],
             "gt_c2w": self.gt_c2w[:idx + 1],

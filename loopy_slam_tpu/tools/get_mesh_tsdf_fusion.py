@@ -92,7 +92,7 @@ def main():
     col = jnp.zeros((cap, ck["map"]["col"].shape[1])).at[:n].set(
         jnp.asarray(ck["map"]["col"]))
     grid = knn.build(pos, jnp.arange(cap) < n, slam.mopts_map.cell_size,
-                     slam.mopts_map.table_size)
+                     slam.mopts_map.table_size, slam.mopts_map.max_per_cell)
     slam.map_state = slam.map_state._replace(
         pos=pos, geo=geo, col=col, count=jnp.asarray(n, jnp.int32),
         grid=grid)
