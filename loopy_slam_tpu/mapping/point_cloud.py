@@ -85,8 +85,12 @@ class MapState(NamedTuple):
     in_count: jnp.ndarray   # () int32
 
 
-def init_map(opts: MapOptions) -> MapState:
-    cap, c = opts.capacity, opts.c_dim
+def init_map(opts: MapOptions, capacity: int = None) -> MapState:
+    """capacity overrides opts.capacity for the initial allocation — the
+    orchestrator starts small and doubles as the map fills (optimizer and
+    gradient traffic scale with the allocated capacity, so right-sizing
+    keeps early mapping iterations cheap)."""
+    cap, c = capacity or opts.capacity, opts.c_dim
     pos = jnp.zeros((cap, 3), jnp.float32)
     valid = jnp.zeros((cap,), bool)
     return MapState(
@@ -116,7 +120,7 @@ def add_points(state: MapState, opts: MapOptions, key,
     stratified along the ray, init features N(0, 0.1), rebuild the index.
     """
     A = rays_o.shape[0]
-    cap = opts.capacity
+    cap = state.pos.shape[0]  # allocated capacity (may be < opts.capacity)
     cand_valid = cand_valid & (gt_depth > 0)
     pts_gt = rays_o + rays_d * gt_depth[:, None]
 

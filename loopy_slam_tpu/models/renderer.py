@@ -92,10 +92,9 @@ def eval_points(params, map_pos, grid, geo_feats, col_feats, pts, key,
     """
     n = pts.shape[0]
     rq = opts.radius_query if r_query is None else r_query
-    D_idx, I, nn_count = knn.query(
+    D_idx, I, nn_count, neighbor_pos = knn.query(
         grid, map_pos, jax.lax.stop_gradient(pts), opts.nn_num, rq,
-        opts.table_size, opts.max_per_cell)
-    neighbor_pos = map_pos[I]  # (N, k, 3)
+        opts.table_size, opts.max_per_cell, return_pos=True)
     diff = jax.lax.stop_gradient(neighbor_pos) - pts[:, None, :]
     D = jnp.sum(diff * diff, axis=-1)
     # empty candidate slots -> out-of-radius marker (reference uses 1e4,

@@ -103,7 +103,8 @@ def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
 
 
 def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
-          k: int, radius, table_size: int, max_per_cell: int = 16):
+          k: int, radius, table_size: int, max_per_cell: int = 16,
+          return_pos: bool = False):
     """k nearest neighbors of each query within the 3x3x3 cell stencil.
 
     Args:
@@ -152,6 +153,13 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
     r = jnp.asarray(radius)
     r2 = (r**2)[..., None] if r.ndim == 1 else r**2
     neighbor_num = jnp.sum(D < r2, axis=-1).astype(jnp.int32)
+    if return_pos:
+        # winners' positions straight from the already-fetched candidate
+        # rows — saves the caller a 200k-row HBM gather of points[I]
+        pos = jnp.take_along_axis(cand_pos.reshape(Q, -1, 3),
+                                  top_pos[..., None], axis=1)
+        pos = jnp.where(valid_hit[..., None], pos, _FAR)
+        return D, I, neighbor_num, pos
     return D, I, neighbor_num
 
 

@@ -100,7 +100,15 @@ class LoopySLAM:
         self._load_pretrained_geo()
         self.dec_mask = trainable_mask(self.params, cfg)
 
-        self.map_state: MapState = init_map(self.mopts_map)
+        # start with a small buffer and double as the map fills: optimizer
+        # and gradient traffic scale with allocated capacity, so
+        # right-sizing keeps mapping iterations cheap early on (a handful of
+        # one-time recompiles per growth step)
+        self.initial_capacity = int(cfg["pointcloud"].get(
+            "initial_capacity", 2 ** 15))
+        self.map_state: MapState = init_map(
+            self.mopts_map, capacity=min(self.initial_capacity,
+                                         self.mopts_map.capacity))
 
         self.estimate_c2w = np.zeros((self.n_img, 4, 4), np.float32)
         self.gt_c2w = np.zeros((self.n_img, 4, 4), np.float32)
@@ -228,6 +236,29 @@ class LoopySLAM:
         return np.asarray(c2w_to_4x4(c2w_from_tensor(best_cam)))
 
     # ------------------------------------------------------------------
+    def _maybe_grow_capacity(self, headroom: int = 24000):
+        """Double the point buffers when the next insertion could overflow."""
+        s = self.map_state
+        cap = s.pos.shape[0]
+        maxcap = self.mopts_map.capacity
+        need = int(s.count) + headroom
+        if need <= cap or cap >= maxcap:
+            return
+        new_cap = cap
+        while need > new_cap and new_cap < maxcap:
+            new_cap *= 2
+        new_cap = min(new_cap, maxcap)
+        pos = jnp.zeros((new_cap, 3), jnp.float32).at[:cap].set(s.pos)
+        geo = jnp.zeros((new_cap, s.geo.shape[1]), jnp.float32).at[:cap].set(s.geo)
+        col = jnp.zeros((new_cap, s.col.shape[1]), jnp.float32).at[:cap].set(s.col)
+        grid = knn.build(pos, jnp.arange(new_cap) < s.count,
+                         self.mopts_map.cell_size, self.mopts_map.table_size,
+                         self.mopts_map.max_per_cell)
+        self.map_state = s._replace(pos=pos, geo=geo, col=col, grid=grid)
+        if self.verbose:
+            print(f"grew point buffer {cap} -> {new_cap}")
+
+    # ------------------------------------------------------------------
     # Submaps + loop closure
     # ------------------------------------------------------------------
     def _start_new_segment(self, idx, cur_c2w, gt_c2w, color_np, depth_np):
@@ -251,8 +282,11 @@ class LoopySLAM:
                      else np.zeros(0, bool))
             self.fm.close_active(npc, geo, col, spts, srgb, carry)
             # fresh active buffer seeded with the carried-over block
-            state = init_map(self.mopts_map)
             n_carry = int(carry.sum())
+            cap0 = max(self.initial_capacity,
+                       int(2 ** np.ceil(np.log2(max(n_carry + 24000, 2)))))
+            state = init_map(self.mopts_map,
+                             capacity=min(cap0, self.mopts_map.capacity))
             if n_carry:
                 state = state._replace(
                     pos=state.pos.at[:n_carry].set(jnp.asarray(npc[carry])),
@@ -450,6 +484,7 @@ class LoopySLAM:
         # ---------------- point insertion ----------------
         frame_pts_add = 0
         if not color_refine:
+            self._maybe_grow_capacity()
             if init:
                 med = float(np.median(depth_np[depth_np > 0])) if (
                     depth_np > 0).any() else 2.5
