@@ -151,8 +151,7 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
     trainable["exp"]) are applied to the composited colors, then sigmoid
     (reference Mapper.py:696-715)."""
     params = trainable["dec"]
-    geo_feats = trainable["geo"]
-    col_feats = trainable["col"]
+    feats = trainable["feat"]  # packed (cap, 2c) [geometry || color]
     F = kf_color.shape[0]
     ks, kr = jax.random.split(key)
     keys = jax.random.split(ks, F)
@@ -177,7 +176,7 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
     inside = valid & (d <= jnp.minimum(10.0 * med, 1.2 * mx))
 
     depth, _var, color, valid_ray = render_batch_ray(
-        params, map_pos, grid, geo_feats, col_feats, ro, rd, d, inside, kr,
+        params, map_pos, grid, feats, ro, rd, d, inside, kr,
         ropts, stage, r_query=rq)
 
     m = (d > 0) & valid_ray & jnp.isfinite(depth) & inside
@@ -211,7 +210,7 @@ def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
                  kf_exposure=None):
     """Run a chunk of the geometry->color mapping optimization.
 
-    trainable: {"dec": decoder params, "geo": (cap,c), "col": (cap,c)}
+    trainable: {"dec": decoder params, "feat": (cap, 2c) packed features}
     adam_state: ops.adam.AdamState over `trainable` (threaded across
       chunks; the host splits the full iteration budget into chunks so a
       single XLA program never runs unboundedly long on the device).
@@ -227,8 +226,7 @@ def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
     def masked_grads(g):
         out = {
             "dec": jax.tree.map(lambda x, m: x * m, g["dec"], dec_mask),
-            "geo": g["geo"] * fm,
-            "col": g["col"] * fm,
+            "feat": g["feat"] * fm,
         }
         if "exp" in g:
             out["exp"] = g["exp"]
@@ -245,10 +243,12 @@ def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
                                      kiter, stage, opts, ropts,
                                      pix_per_frame, kf_exposure)
             g = masked_grads(g)
+            c = trainable["feat"].shape[1] // 2
+            lr_feat = jnp.concatenate([jnp.full((c,), lrs[1]),
+                                       jnp.full((c,), lrs[2])])
             lr_tree = {
                 "dec": jax.tree.map(lambda _: lrs[0], trainable["dec"]),
-                "geo": lrs[1],
-                "col": lrs[2],
+                "feat": lr_feat,  # per-column: geometry_lr || color_lr
             }
             if "exp" in trainable:
                 lr_tree["exp"] = 0.001  # exposure latent lr (Mapper.py:569)

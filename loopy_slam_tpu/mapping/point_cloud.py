@@ -76,8 +76,9 @@ class MapState(NamedTuple):
     """All mutable map arrays (a pytree; donate/carry through jitted steps)."""
 
     pos: jnp.ndarray        # (cap, 3) neural point positions
-    geo: jnp.ndarray        # (cap, c_dim) geometry features
-    col: jnp.ndarray        # (cap, c_dim) color features
+    feat: jnp.ndarray       # (cap, 2*c_dim) packed [geometry || color]
+                            # features — ONE buffer so the render pass pays
+                            # a single neighbor gather / backward scatter
     count: jnp.ndarray      # () int32 valid prefix length
     grid: knn.HashGrid      # spatial-hash index over pos[:count]
     in_pos: jnp.ndarray     # (in_cap, 3) sensor-space input cloud
@@ -95,8 +96,7 @@ def init_map(opts: MapOptions, capacity: int = None) -> MapState:
     valid = jnp.zeros((cap,), bool)
     return MapState(
         pos=pos,
-        geo=jnp.zeros((cap, c), jnp.float32),
-        col=jnp.zeros((cap, c), jnp.float32),
+        feat=jnp.zeros((cap, 2 * c), jnp.float32),
         count=jnp.zeros((), jnp.int32),
         grid=knn.build(pos, valid, opts.cell_size, opts.table_size,
                        opts.max_per_cell),
@@ -149,12 +149,9 @@ def add_points(state: MapState, opts: MapOptions, key,
 
     pos = state.pos.at[dest.reshape(-1)].set(
         new_pts.reshape(-1, 3), mode="drop")
-    kg, kc = jax.random.split(key)
     n_new = A * opts.N_add
-    geo_init = 0.1 * jax.random.normal(kg, (n_new, opts.c_dim))
-    col_init = 0.1 * jax.random.normal(kc, (n_new, opts.c_dim))
-    geo = state.geo.at[dest.reshape(-1)].set(geo_init, mode="drop")
-    col = state.col.at[dest.reshape(-1)].set(col_init, mode="drop")
+    feat_init = 0.1 * jax.random.normal(key, (n_new, 2 * opts.c_dim))
+    feat = state.feat.at[dest.reshape(-1)].set(feat_init, mode="drop")
     n_loc = jnp.sum(gate).astype(jnp.int32)
     count = state.count + n_loc * opts.N_add
 
@@ -168,7 +165,7 @@ def add_points(state: MapState, opts: MapOptions, key,
 
     grid = knn.build(pos, jnp.arange(cap) < count, opts.cell_size,
                      opts.table_size, opts.max_per_cell)
-    return MapState(pos=pos, geo=geo, col=col, count=count, grid=grid,
+    return MapState(pos=pos, feat=feat, count=count, grid=grid,
                     in_pos=in_pos, in_rgb=in_rgb, in_count=in_count), n_loc
 
 

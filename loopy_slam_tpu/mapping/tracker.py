@@ -76,7 +76,7 @@ def _lr_vector(opts: TrackOptions) -> jnp.ndarray:
     return jnp.full((7,), opts.lr, jnp.float32)
 
 
-def tracking_loss(opt_vars, params, map_pos, grid, geo_feats, col_feats,
+def tracking_loss(opt_vars, params, map_pos, grid, feats,
                   gt_color, gt_depth, key, opts: TrackOptions,
                   ropts: RenderOptions, sel_i=None, sel_j=None, r_query=None):
     """Sample pixels, render, compute the tracking loss.
@@ -118,7 +118,7 @@ def tracking_loss(opt_vars, params, map_pos, grid, geo_feats, col_feats,
     inside = inside_mask_from_depth(d, valid) & valid
 
     depth, var, color, _ = render_batch_ray(
-        params, map_pos, grid, geo_feats, col_feats, rays_o, rays_d, d,
+        params, map_pos, grid, feats, rays_o, rays_d, d,
         inside, kr, ropts, "color", r_query=rq,
         exposure_feat=exposure_feat)
 
@@ -139,7 +139,7 @@ def tracking_loss(opt_vars, params, map_pos, grid, geo_feats, col_feats,
 
 
 @partial(jax.jit, static_argnames=("opts", "ropts", "use_selected"))
-def track_frame(params, map_pos, grid, geo_feats, col_feats,
+def track_frame(params, map_pos, grid, feats,
                 gt_color, gt_depth, cam7_init, key,
                 opts: TrackOptions, ropts: RenderOptions,
                 sel_i=None, sel_j=None, r_query=None, use_selected=False,
@@ -165,8 +165,8 @@ def track_frame(params, map_pos, grid, geo_feats, col_feats,
     def body(it, carry):
         opt_vars, st, best_loss, best_cam, first_loss, k = carry
         k, kiter = jax.random.split(k)
-        (loss, _aux), g = grad_fn(opt_vars, params, map_pos, grid, geo_feats,
-                                  col_feats, gt_color, gt_depth, kiter,
+        (loss, _aux), g = grad_fn(opt_vars, params, map_pos, grid, feats,
+                                  gt_color, gt_depth, kiter,
                                   opts, ropts, si, sj, r_query)
         opt_vars, st = adam.update(opt_vars, g, st, lr_tree)
         better = loss < best_loss

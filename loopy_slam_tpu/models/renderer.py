@@ -81,10 +81,14 @@ class RenderOptions(NamedTuple):
         )
 
 
-def eval_points(params, map_pos, grid, geo_feats, col_feats, pts, key,
+def eval_points(params, map_pos, grid, feats, pts, key,
                 opts: RenderOptions, stage: str, views_d=None,
                 r_query=None, exposure_feat=None):
     """Decode occupancy (and color) at arbitrary sample positions (N, 3).
+
+    feats is the packed (cap, 2c) [geometry || color] feature buffer: both
+    decoders share ONE neighbor gather (and one scatter-add in the backward
+    pass) — random row access dominates render time on TPU.
 
     Returns (occ_logits(N,), rgb(N,3), has_neighbors(N,)).
     rgb is post-sigmoid unless encode_exposure with exposure_feat=None (the
@@ -108,18 +112,20 @@ def eval_points(params, map_pos, grid, geo_feats, col_feats, pts, key,
     has_neighbors = nn_count >= opts.min_nn_num
 
     kg, kc = jax.random.split(key)
-    c_geo = interpolate_features(geo_feats[I], w, has_neighbors, kg, opts.c_dim)
+    c = opts.c_dim
+    both = feats[I]  # (N, k, 2c) — single gather for both decoders
+    geo_n, col_n = both[..., :c], both[..., c:]
+    c_geo = interpolate_features(geo_n, w, has_neighbors, kg, opts.c_dim)
     occ = geo_forward(params["geo"], pts, c_geo)
     occ = jnp.where(has_neighbors, occ, -100.0)
 
     if stage == "geometry":
         return occ, jnp.zeros((n, 3), pts.dtype), has_neighbors
 
-    feats = col_feats[I]
     if opts.encode_rel_pos_in_col:
         rel = jax.lax.stop_gradient(neighbor_pos) - pts[:, None, :]
-        feats = neighbor_transform(params["col"], feats, rel)
-    c_col = interpolate_features(feats, w, has_neighbors, kc, opts.c_dim)
+        col_n = neighbor_transform(params["col"], col_n, rel)
+    c_col = interpolate_features(col_n, w, has_neighbors, kc, opts.c_dim)
     rgb = col_forward(params["col"], pts, c_col, views_d,
                       opts.use_view_direction, opts.encode_viewd)
     if opts.encode_exposure:
@@ -132,7 +138,7 @@ def eval_points(params, map_pos, grid, geo_feats, col_feats, pts, key,
     return occ, rgb, has_neighbors
 
 
-def render_batch_ray(params, map_pos, grid, geo_feats, col_feats,
+def render_batch_ray(params, map_pos, grid, feats,
                      rays_o, rays_d, gt_depth, ray_valid, key,
                      opts: RenderOptions, stage: str,
                      r_query=None, exposure_feat=None,
@@ -179,7 +185,7 @@ def render_batch_ray(params, map_pos, grid, geo_feats, col_feats,
         rq = jnp.repeat(jnp.asarray(r_query).reshape(-1), S, axis=0)
 
     occ, rgb, has_neighbors = eval_points(
-        params, map_pos, grid, geo_feats, col_feats, pts, key, opts, stage,
+        params, map_pos, grid, feats, pts, key, opts, stage,
         views_d=views_d, r_query=rq, exposure_feat=exposure_feat)
 
     valid_ray = (

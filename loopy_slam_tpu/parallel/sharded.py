@@ -88,9 +88,12 @@ def make_sharded_train_step(mesh: Mesh, mopts: MapperOptions,
         loss = jax.lax.psum(loss, AXIS)
         fm = feat_mask[:, None].astype(jnp.float32)
         g = {"dec": jax.tree.map(lambda x, m: x * m, g["dec"], dec_mask),
-             "geo": g["geo"] * fm, "col": g["col"] * fm}
+             "feat": g["feat"] * fm}
+        c = trainable["feat"].shape[1] // 2
+        lr_feat = jnp.concatenate([jnp.full((c,), lrs[1]),
+                                   jnp.full((c,), lrs[2])])
         lr_tree = {"dec": jax.tree.map(lambda _: lrs[0], trainable["dec"]),
-                   "geo": lrs[1], "col": lrs[2]}
+                   "feat": lr_feat}
         trainable, st = adam.update(trainable, g, st, lr_tree)
         return trainable, st, loss
 
@@ -102,16 +105,16 @@ def make_sharded_render(mesh: Mesh, ropts: RenderOptions):
     full-image eval renders and the throughput benchmark)."""
 
     @partial(jax.jit, static_argnames=())
-    def render(params, map_pos, grid, geo, col, rays_o, rays_d, gt_depth,
+    def render(params, map_pos, grid, feats, rays_o, rays_d, gt_depth,
                key):
         valid = gt_depth > 0
-        return render_batch_ray(params, map_pos, grid, geo, col,
+        return render_batch_ray(params, map_pos, grid, feats,
                                 rays_o, rays_d, gt_depth, valid, key,
                                 ropts, "color")
 
-    def run(params, map_pos, grid, geo, col, rays_o, rays_d, gt_depth, key):
+    def run(params, map_pos, grid, feats, rays_o, rays_d, gt_depth, key):
         rays_o, rays_d, gt_depth = shard_rays(mesh, rays_o, rays_d, gt_depth)
-        reps = replicate(mesh, (params, map_pos, grid, geo, col))
+        reps = replicate(mesh, (params, map_pos, grid, feats))
         return render(*reps, rays_o, rays_d, gt_depth, key)
 
     return run

@@ -219,7 +219,7 @@ class LoopySLAM:
         self.key, kt = jax.random.split(self.key)
         s = self.map_state
         best_cam, first_loss, best_loss, ef, exp_mlp = tracker_mod.track_frame(
-            self.params, s.pos, s.grid, s.geo, s.col, color, depth, cam7, kt,
+            self.params, s.pos, s.grid, s.feat, color, depth, cam7, kt,
             self.topts, self.ropts_tracker,
             sel_i=sel_i, sel_j=sel_j, r_query=self.cur_r_query,
             use_selected=use_selected,
@@ -236,7 +236,7 @@ class LoopySLAM:
         return np.asarray(c2w_to_4x4(c2w_from_tensor(best_cam)))
 
     # ------------------------------------------------------------------
-    def _maybe_grow_capacity(self, headroom: int = 24000):
+    def _maybe_grow_capacity(self, headroom: int = 6000):
         """Double the point buffers when the next insertion could overflow."""
         s = self.map_state
         cap = s.pos.shape[0]
@@ -249,12 +249,12 @@ class LoopySLAM:
             new_cap *= 2
         new_cap = min(new_cap, maxcap)
         pos = jnp.zeros((new_cap, 3), jnp.float32).at[:cap].set(s.pos)
-        geo = jnp.zeros((new_cap, s.geo.shape[1]), jnp.float32).at[:cap].set(s.geo)
-        col = jnp.zeros((new_cap, s.col.shape[1]), jnp.float32).at[:cap].set(s.col)
+        feat = jnp.zeros((new_cap, s.feat.shape[1]),
+                         jnp.float32).at[:cap].set(s.feat)
         grid = knn.build(pos, jnp.arange(new_cap) < s.count,
                          self.mopts_map.cell_size, self.mopts_map.table_size,
                          self.mopts_map.max_per_cell)
-        self.map_state = s._replace(pos=pos, geo=geo, col=col, grid=grid)
+        self.map_state = s._replace(pos=pos, feat=feat, grid=grid)
         if self.verbose:
             print(f"grew point buffer {cap} -> {new_cap}")
 
@@ -272,9 +272,11 @@ class LoopySLAM:
         if not first:
             s = self.map_state
             cnt = int(s.count)
+            c_dim = self.mopts_map.c_dim
             npc = np.asarray(s.pos[:cnt])
-            geo = np.asarray(s.geo[:cnt])
-            col = np.asarray(s.col[:cnt])
+            feat_host = np.asarray(s.feat[:cnt])
+            geo = feat_host[:, :c_dim]
+            col = feat_host[:, c_dim:]
             in_cnt = int(s.in_count)
             spts = np.asarray(s.in_pos[self.active_sensor_start:in_cnt])
             srgb = np.asarray(s.in_rgb[self.active_sensor_start:in_cnt])
@@ -290,8 +292,8 @@ class LoopySLAM:
             if n_carry:
                 state = state._replace(
                     pos=state.pos.at[:n_carry].set(jnp.asarray(npc[carry])),
-                    geo=state.geo.at[:n_carry].set(jnp.asarray(geo[carry])),
-                    col=state.col.at[:n_carry].set(jnp.asarray(col[carry])),
+                    feat=state.feat.at[:n_carry].set(
+                        jnp.asarray(feat_host[carry])),
                     count=jnp.asarray(n_carry, jnp.int32))
             state = state._replace(
                 grid=knn.build(state.pos, valid_mask(state),
@@ -384,23 +386,22 @@ class LoopySLAM:
         1382-1392,1435-1504)."""
         s = self.map_state
         cnt = int(s.count)
+        c_dim = self.mopts_map.c_dim
         npc = np.asarray(s.pos[:cnt])
-        geo = np.asarray(s.geo[:cnt])
-        col = np.asarray(s.col[:cnt])
+        feat_host = np.asarray(s.feat[:cnt])
+        geo, col = feat_host[:, :c_dim], feat_host[:, c_dim:]
         if len(self.fm.fragments) > 1:
             npc, geo, col = self.fm.merged_global(npc, geo, col)
         n = len(npc)
-        cap = max(self.mopts_map.capacity, int(2 ** np.ceil(np.log2(max(n, 2)))))
+        cap = int(2 ** np.ceil(np.log2(max(n + 1024, 2))))
         pos = jnp.zeros((cap, 3), jnp.float32).at[:n].set(jnp.asarray(npc))
-        g = jnp.zeros((cap, geo.shape[1]), jnp.float32).at[:n].set(
-            jnp.asarray(geo))
-        c = jnp.zeros((cap, col.shape[1]), jnp.float32).at[:n].set(
-            jnp.asarray(col))
+        feat = jnp.zeros((cap, 2 * c_dim), jnp.float32).at[:n].set(
+            jnp.asarray(np.concatenate([geo, col], axis=1)))
         count = jnp.asarray(n, jnp.int32)
         grid = knn.build(pos, jnp.arange(cap) < count,
                          self.mopts_map.cell_size, self.mopts_map.table_size,
                          self.mopts_map.max_per_cell)
-        self.map_state = MapState(pos=pos, geo=g, col=c, count=count,
+        self.map_state = MapState(pos=pos, feat=feat, count=count,
                                   grid=grid, in_pos=s.in_pos,
                                   in_rgb=s.in_rgb, in_count=s.in_count)
         if self.verbose:
@@ -628,8 +629,7 @@ class LoopySLAM:
                           "mapping": {**m, "fix_color_decoder": True}}
             dec_mask = trainable_mask(self.params, refine_cfg)
 
-        trainable = {"dec": self.params, "geo": self.map_state.geo,
-                     "col": self.map_state.col}
+        trainable = {"dec": self.params, "feat": self.map_state.feat}
         kf_exposure = None
         if self.encode_exposure:
             dim = self.exposure_feat.shape[0]
@@ -669,8 +669,7 @@ class LoopySLAM:
         if self.encode_exposure:
             self.exposure_feat = trainable["exp"]
         self.params = trainable["dec"]
-        self.map_state = self.map_state._replace(geo=trainable["geo"],
-                                                 col=trainable["col"])
+        self.map_state = self.map_state._replace(feat=trainable["feat"])
         if self.verbose:
             g, c, n = (float(aux[0]), float(aux[1]), float(aux[2]))
             print(f"idx: {idx}, geo_loss_pixel: {g / max(n, 1):.6f}, "
@@ -714,7 +713,7 @@ class LoopySLAM:
                 rqc = jnp.pad(rq[sl], (0, pad), constant_values=1e-3)
             self.key, kr = jax.random.split(self.key)
             dep, var, col, vmask = _render_chunk(
-                self.params, s.pos, s.grid, s.geo, s.col, ro, rd, d, kr,
+                self.params, s.pos, s.grid, s.feat, ro, rd, d, kr,
                 self.ropts_mapper, rqc)
             take = sl.stop - sl.start
             depths.append(np.asarray(dep)[:take])
@@ -874,8 +873,10 @@ class LoopySLAM:
             "params": jax.tree.map(np.asarray, self.params),
             "map": {
                 "pos": np.asarray(s.pos)[:int(s.count)],
-                "geo": np.asarray(s.geo)[:int(s.count)],
-                "col": np.asarray(s.col)[:int(s.count)],
+                "geo": np.asarray(s.feat)[:int(s.count),
+                                          :self.mopts_map.c_dim],
+                "col": np.asarray(s.feat)[:int(s.count),
+                                          self.mopts_map.c_dim:],
                 "count": int(s.count),
             },
             "keyframe_list": self.keyframe_global_list,
@@ -891,7 +892,7 @@ from functools import partial  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("ropts",))
-def _render_chunk(params, pos, grid, geo, col, ro, rd, d, key, ropts, rq):
+def _render_chunk(params, pos, grid, feat, ro, rd, d, key, ropts, rq):
     valid = d > 0
-    return render_batch_ray(params, pos, grid, geo, col, ro, rd, d, valid,
+    return render_batch_ray(params, pos, grid, feat, ro, rd, d, valid,
                             key, ropts, "color", r_query=rq)

@@ -87,14 +87,14 @@ def main():
     cap = max(slam.mopts_map.capacity,
               int(2 ** np.ceil(np.log2(max(n, 2)))))
     pos = jnp.zeros((cap, 3)).at[:n].set(jnp.asarray(ck["map"]["pos"]))
-    geo = jnp.zeros((cap, ck["map"]["geo"].shape[1])).at[:n].set(
-        jnp.asarray(ck["map"]["geo"]))
-    col = jnp.zeros((cap, ck["map"]["col"].shape[1])).at[:n].set(
-        jnp.asarray(ck["map"]["col"]))
+    feat = jnp.zeros((cap, ck["map"]["geo"].shape[1]
+                      + ck["map"]["col"].shape[1])).at[:n].set(
+        jnp.asarray(np.concatenate([ck["map"]["geo"], ck["map"]["col"]],
+                                   axis=1)))
     grid = knn.build(pos, jnp.arange(cap) < n, slam.mopts_map.cell_size,
                      slam.mopts_map.table_size, slam.mopts_map.max_per_cell)
     slam.map_state = slam.map_state._replace(
-        pos=pos, geo=geo, col=col, count=jnp.asarray(n, jnp.int32),
+        pos=pos, feat=feat, count=jnp.asarray(n, jnp.int32),
         grid=grid)
 
     out_path = os.path.join(args.output, "mesh", "final_mesh.ply")

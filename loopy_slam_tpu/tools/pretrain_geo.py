@@ -71,7 +71,7 @@ def pretrain(n_scenes=4, iters=400, seed=7, verbose=True):
         kc = jnp.stack([f[0] for f in frames])
         kd = jnp.stack([f[1] for f in frames])
         kp = jnp.stack([f[2] for f in frames])
-        trainable = {"dec": params, "geo": state.geo, "col": state.col}
+        trainable = {"dec": params, "feat": state.feat}
         st = adam.init(trainable)
         lrs_geo = jnp.asarray([0.001, 0.03, 0.0])
         lrs_col = jnp.asarray([0.001, 0.005, 0.005])

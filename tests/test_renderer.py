@@ -37,7 +37,7 @@ def test_render_shapes_and_masks(rng, cfg):
     rays_d = jnp.asarray(np.stack([x, y, -np.ones(R, np.float32)], -1))
     gt_depth = jnp.full((R,), 2.0)
     depth, var, color, valid = render_batch_ray(
-        params, state.pos, state.grid, state.geo, state.col,
+        params, state.pos, state.grid, state.feat,
         rays_o, rays_d, gt_depth, jnp.ones(R, bool),
         jax.random.PRNGKey(2), ropts, "color")
     assert depth.shape == (R,) and color.shape == (R, 3) and var.shape == (R,)
@@ -57,7 +57,7 @@ def test_far_rays_are_invalid(rng, cfg):
     rays_d = jnp.asarray(np.tile([0, 0, -1.0], (R, 1)).astype(np.float32))
     gt_depth = jnp.full((R,), 2.0)
     _, _, _, valid = render_batch_ray(
-        params, state.pos, state.grid, state.geo, state.col,
+        params, state.pos, state.grid, state.feat,
         rays_o, rays_d, gt_depth, jnp.ones(R, bool),
         jax.random.PRNGKey(2), ropts, "color")
     assert not np.asarray(valid).any()
@@ -79,7 +79,7 @@ def test_gradients_flow_to_pose_and_features(rng, cfg):
         ro, rd = rays_from_uv(i, j, c2w, 60.0, 60.0, 39.5, 29.5)
         gt = jnp.full((64,), 2.0)
         d, v, c, _ = render_batch_ray(params, state.pos, state.grid,
-                                      state.geo, state.col, ro, rd, gt,
+                                      state.feat, ro, rd, gt,
                                       jnp.ones(64, bool),
                                       jax.random.PRNGKey(3), ropts, "color")
         return jnp.sum(jnp.abs(gt - d)) + jnp.sum(c)
@@ -88,22 +88,22 @@ def test_gradients_flow_to_pose_and_features(rng, cfg):
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
 
-    def loss_feats(feats):
-        geo, col = feats
+    def loss_feats(feat):
         ro = jnp.zeros((32, 3))
         rd = jnp.asarray(np.stack([rng.uniform(-0.3, 0.3, 32),
                                    rng.uniform(-0.3, 0.3, 32),
                                    -np.ones(32)], -1).astype(np.float32))
         gt = jnp.full((32,), 2.0)
         d, v, c, _ = render_batch_ray(params, state.pos, state.grid,
-                                      geo, col, ro, rd, gt,
+                                      feat, ro, rd, gt,
                                       jnp.ones(32, bool),
                                       jax.random.PRNGKey(4), ropts, "color")
         return jnp.sum(jnp.abs(gt - d)) + jnp.sum(c)
 
-    gg, gc = jax.grad(loss_feats)((state.geo, state.col))
-    assert float(jnp.abs(gg).sum()) > 0
-    assert float(jnp.abs(gc).sum()) > 0
+    gf = jax.grad(loss_feats)(state.feat)
+    cdim = gf.shape[1] // 2
+    assert float(jnp.abs(gf[:, :cdim]).sum()) > 0   # geometry half
+    assert float(jnp.abs(gf[:, cdim:]).sum()) > 0   # color half
 
 
 def test_trainable_mask_freezes_geo_trunk(cfg):

@@ -28,7 +28,7 @@ def build_mapped_scene(cfg, n_iters=120):
         jax.random.PRNGKey(1), mopts_map, mopts, 3000, overlap=None)
     assert int(n) > 100
 
-    trainable = {"dec": params, "geo": state.geo, "col": state.col}
+    trainable = {"dec": params, "feat": state.feat}
     dec_mask = trainable_mask(params, cfg)
     kc = color[None]
     kd = depth[None]
@@ -42,7 +42,7 @@ def build_mapped_scene(cfg, n_iters=120):
         kc, kd, kp, None, jax.random.PRNGKey(2),
         jnp.asarray(n_iters // 2), jnp.asarray(n_iters // 2),
         lrs_geo, lrs_col, mopts, ropts, 300, False)
-    state = state._replace(geo=trainable["geo"], col=trainable["col"])
+    state = state._replace(feat=trainable["feat"])
     return ds, state, trainable["dec"], mopts, ropts, (color, depth, c2w), aux
 
 
@@ -74,7 +74,7 @@ def test_tracking_recovers_perturbed_pose(cfg):
     pert[:4] += np.array([0.0, 0.01, -0.01, 0.01], np.float32)
 
     best, first_loss, best_loss, _ef, _em = tracker_mod.track_frame(
-        params, state.pos, state.grid, state.geo, state.col,
+        params, state.pos, state.grid, state.feat,
         color, depth, jnp.asarray(pert), jax.random.PRNGKey(5),
         topts, ropts_t)
     best = np.asarray(best)
