@@ -1,0 +1,54 @@
+"""Multi-chip sharding on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8  # conftest forces the virtual CPU mesh
+
+
+def test_dryrun_multichip_entrypoints():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape == (256,)
+    g.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_sharded_train_step_matches_semantics():
+    """The sharded step must produce finite loss and actually move the
+    trainable parameters, with rays split across all 8 devices."""
+    import __graft_entry__ as g
+    from loopy_slam_tpu.mapping.point_cloud import valid_mask
+    from loopy_slam_tpu.models.decoder import trainable_mask
+    from loopy_slam_tpu.models.renderer import RenderOptions
+    from loopy_slam_tpu.ops import adam
+    from loopy_slam_tpu.parallel.sharded import (make_mesh, replicate,
+                                                 make_sharded_train_step)
+
+    cfg = g._tiny_cfg()
+    ds, state, params, mopts, c2w = g._build_scene(cfg)
+    _, color, depth, _ = ds[0]
+    mesh = make_mesh(8)
+    ropts = RenderOptions.from_cfg(cfg)
+    step = make_sharded_train_step(mesh, mopts, ropts, pix_per_frame=128)
+    trainable = {"dec": params, "feat": state.feat}
+    st = adam.init(trainable)
+    args = replicate(mesh, (trainable, st, trainable_mask(params, cfg),
+                            valid_mask(state), state.pos, state.grid,
+                            jnp.asarray(color)[None],
+                            jnp.asarray(depth)[None],
+                            jnp.asarray(c2w)[None]))
+    lrs = jnp.asarray([0.005, 0.005, 0.005])
+    out, st2, loss = step(*args, jax.random.PRNGKey(0), lrs)
+    assert np.isfinite(float(loss))
+    moved = float(jnp.abs(out["feat"] - state.feat).sum())
+    assert moved > 0
+    # frozen color positional embedder must not move
+    np.testing.assert_array_equal(np.asarray(out["dec"]["col"]["B"]),
+                                  np.asarray(params["col"]["B"]))
