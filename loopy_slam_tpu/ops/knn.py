@@ -43,6 +43,7 @@ _OFFSETS = np.array(
 )
 
 _FAR = 1e9
+_IDX_TAG = np.int32(1 << 30)  # exponent tag keeping packed indices normal
 
 
 class HashGrid(NamedTuple):
@@ -90,13 +91,17 @@ def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
     ok = (codes_sorted < table_size) & (rank < max_per_cell)
     row = jnp.where(ok, codes_sorted, table_size)
     col = jnp.where(ok, rank, 0)
+    # indices are < 2^23, whose raw bit patterns are DENORMAL floats — TPU
+    # flushes denormals to zero somewhere along the data path, silently
+    # zeroing every neighbor index. Setting exponent bit 30 makes the
+    # pattern a normal float; the query masks it back off.
+    idx_bits = jax.lax.bitcast_convert_type(order | _IDX_TAG, jnp.float32)
     packed = jnp.concatenate(
-        [points[order],
-         jax.lax.bitcast_convert_type(order, jnp.float32)[:, None]], axis=-1)
+        [points[order], idx_bits[:, None]], axis=-1)
     cell_data = jnp.full((table_size + 1, max_per_cell, 4), _FAR,
                          jnp.float32)
     cell_data = cell_data.at[:, :, 3].set(
-        jax.lax.bitcast_convert_type(jnp.int32(0), jnp.float32))
+        jax.lax.bitcast_convert_type(_IDX_TAG, jnp.float32))
     cell_data = cell_data.at[row, col].set(packed, mode="drop")
     return HashGrid(cell_data=cell_data[:table_size],
                     cell_size=jnp.asarray(cell_size, jnp.float32))
@@ -145,7 +150,7 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
     D = -neg_top
     idx_f = jnp.take_along_axis(rows[..., 3].reshape(Q, -1), top_pos,
                                 axis=-1)
-    I = jax.lax.bitcast_convert_type(idx_f, jnp.int32)
+    I = jax.lax.bitcast_convert_type(idx_f, jnp.int32) & (_IDX_TAG - 1)
     valid_hit = D < 1e10  # empty slots sit at >= (1e9)^2-ish distances
     I = jnp.where(valid_hit, I, 0)
     D = jnp.where(valid_hit, D, 1e10)

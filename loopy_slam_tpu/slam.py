@@ -311,18 +311,35 @@ class LoopySLAM:
                                des, idx_start_features=n_carry)
         self.lc.on_new_segment(des)
 
-    def _tsdf_registration_cloud(self, start_idx, end_idx):
+    def _tsdf_registration_cloud(self, start_idx, end_idx,
+                                 max_voxels=3.0e7):
         """Fuse a segment's frames into a TSDF and return mesh vertices +
         colors — the registration cloud (compute_tsdf parity,
-        neural_point.py:959-1017)."""
+        neural_point.py:959-1017). The reference's ScalableTSDFVolume is
+        block-sparse; this grid is dense, so the voxel size adapts upward
+        when the segment's bounds would exceed max_voxels (the registration
+        pipeline voxel-downsamples to 0.04 anyway, so anything <= ~0.02
+        is equivalent for it)."""
         frames, poses = [], []
         for i in range(start_idx, end_idx):
             _, c, d, _ = self.dataset[i]
             frames.append((c, d))
             poses.append(self.estimate_c2w[i])
+        # bound-derived voxel floor
+        lo = np.array([np.inf] * 3)
+        hi = -lo
+        for (c, d), p in zip(frames[::max(len(frames) // 4, 1)],
+                             poses[::max(len(frames) // 4, 1)]):
+            m = d > 0
+            if m.any():
+                t = p[:3, 3]
+                r = float(d[m].max())
+                lo = np.minimum(lo, t - r)
+                hi = np.maximum(hi, t + r)
+        vol = float(np.prod(np.maximum(hi - lo, 0.1)))
+        voxel = max(self.registration_voxel, (vol / max_voxels) ** (1 / 3))
         grid = tsdf.fuse_frames(frames, poses, self.fx, self.fy, self.cx,
-                                self.cy, voxel=self.registration_voxel,
-                                trunc=0.04)
+                                self.cy, voxel=voxel, trunc=max(0.04, 2 * voxel))
         verts, _faces, cols = tsdf.extract_mesh(grid)
         return verts, cols
 
@@ -729,8 +746,13 @@ class LoopySLAM:
         for idx in range(self.n_img):
             if progress:
                 import sys
+                err = (np.linalg.norm(self.estimate_c2w[idx - 1][:3, 3]
+                                      - self.gt_c2w[idx - 1][:3, 3])
+                       if idx > 0 else 0.0)
                 print(f"[frame {idx}/{self.n_img} "
-                      f"t={time.perf_counter():.0f}]",
+                      f"t={time.perf_counter():.0f} prev_err={err:.4f} "
+                      f"pts={int(self.map_state.count)} "
+                      f"segs={len(self.fm.fragments)}]",
                       file=sys.stderr, flush=True)
             _, color_np, depth_np, gt_c2w = self.dataset[idx]
             color = jnp.asarray(color_np)
