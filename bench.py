@@ -48,9 +48,13 @@ def main():
     track = np.array(slam.timings["track"])
     mp = np.array(slam.timings["map"])
     every = cfg["mapping"]["every_frame"]
-    # steady state: medians exclude compile-dominated first calls
-    t_track = float(np.median(track)) if track.size else 0.0
-    t_map = float(np.median(mp)) if mp.size else 0.0
+    # steady state: drop compile-dominated leading calls (first tracked
+    # frame; first two mapped frames — frame 0 and the first frame that
+    # compiles the overlap-split insertion variants)
+    t_track = float(np.mean(track[1:])) if track.size > 1 else (
+        float(track.mean()) if track.size else 0.0)
+    steady_mp = mp[2:] if mp.size > 2 else mp
+    t_map = float(np.mean(steady_mp)) if steady_mp.size else 0.0
     per_frame = t_track + t_map / every
     fps = 1.0 / per_frame if per_frame > 0 else 0.0
 
@@ -60,6 +64,8 @@ def main():
 
     stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
     print(json.dumps({
+        "track_times": [round(t, 3) for t in track.tolist()],
+        "map_times": [round(t, 3) for t in mp.tolist()],
         "devices": [str(d) for d in jax.devices()],
         "frames": int(cfg["data"]["n_frames"]),
         "wall_total_s": round(total, 2),

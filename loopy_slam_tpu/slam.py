@@ -156,6 +156,9 @@ class LoopySLAM:
         self.lc_enabled = cfg["mapping"]["segment_strategy"] in (
             "rot_trans", "fixed")
 
+        from .utils.telemetry import WandbLogger
+        self.wandb = WandbLogger(cfg, name=os.path.basename(self.output))
+
     # ------------------------------------------------------------------
     def _load_pretrained_geo(self):
         path = self.cfg["pretrained_decoders"].get("middle_fine", "")
@@ -233,6 +236,8 @@ class LoopySLAM:
         if self.verbose:
             print(f"idx:{idx}, re-rendering loss: "
                   f"{float(first_loss):.2f}->{float(best_loss):.2f}")
+        self.wandb.log({"idx_track": idx,
+                        "tracking_loss": float(best_loss)})
         return np.asarray(c2w_to_4x4(c2w_from_tensor(best_cam)))
 
     # ------------------------------------------------------------------
@@ -687,10 +692,15 @@ class LoopySLAM:
             self.exposure_feat = trainable["exp"]
         self.params = trainable["dec"]
         self.map_state = self.map_state._replace(feat=trainable["feat"])
+        g, c, n = (float(aux[0]), float(aux[1]), float(aux[2]))
         if self.verbose:
-            g, c, n = (float(aux[0]), float(aux[1]), float(aux[2]))
             print(f"idx: {idx}, geo_loss_pixel: {g / max(n, 1):.6f}, "
                   f"color_loss_pixel: {c / max(n, 1):.4f}, iters: {num}")
+        self.wandb.log({"idx_map": idx,
+                        "geo_loss_pixel": g / max(n, 1),
+                        "color_loss_pixel": c / max(n, 1),
+                        "pts_total": int(self.map_state.count),
+                        "num_joint_iters": num})
 
         # ---------------- keyframe bookkeeping (Mapper.py:982-1004) -------
         ok_gt = np.isfinite(gt_c2w).all()
@@ -773,6 +783,10 @@ class LoopySLAM:
                     print(f"Mapping Frame {idx}")
                 t0 = time.perf_counter()
                 self.map_frame(idx, color, depth, gt_c2w, color_np)
+                # hard sync: async runtimes may return before the optimizer
+                # chunks complete, which would misattribute mapping time to
+                # the next tracking call
+                _ = np.asarray(self.map_state.feat[0, 0])
                 self.timings["map"].append(time.perf_counter() - t0)
                 if (idx == self.n_img - 1 and self.cfg["mapping"]["color_refine"]
                         and not stop):
@@ -908,6 +922,7 @@ class LoopySLAM:
         }
         save_checkpoint(os.path.join(self.output, "ckpts",
                                      f"{last_idx:05d}.pkl"), ckpt)
+        self.wandb.finish()
 
 
 from functools import partial  # noqa: E402
