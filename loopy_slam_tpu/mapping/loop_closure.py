@@ -144,7 +144,12 @@ class LoopCloser:
                 for (s, t) in pairs]
         tic = time.perf_counter()
         if cfg.n_jobs > 1 and len(jobs) > 2:
-            with ProcessPoolExecutor(max_workers=cfg.n_jobs) as ex:
+            # spawn context: fork inside a JAX-threaded process can deadlock
+            import multiprocessing as _mp
+
+            with ProcessPoolExecutor(
+                    max_workers=cfg.n_jobs,
+                    mp_context=_mp.get_context("spawn")) as ex:
                 results = list(ex.map(_register_one, jobs))
         else:
             results = [_register_one(j) for j in jobs]

@@ -45,9 +45,18 @@ def init_grid(origin, dims: Tuple[int, int, int], voxel: float) -> TSDFGrid:
     )
 
 
-def grid_for_bounds(lo, hi, voxel: float) -> TSDFGrid:
+def grid_for_bounds(lo, hi, voxel: float,
+                    fixed_dims=None) -> TSDFGrid:
+    """fixed_dims pins the grid SHAPE (voxel size adapts to the bounds
+    instead) so the jitted integrate compiles once across segments —
+    shape-varying grids would recompile per segment on remote-compile
+    runtimes."""
     lo = np.asarray(lo, np.float64) - 2 * voxel
     hi = np.asarray(hi, np.float64) + 2 * voxel
+    if fixed_dims is not None:
+        voxel = max(voxel, float(np.max((hi - lo) / (np.array(fixed_dims)
+                                                     - 1))))
+        return init_grid(lo, tuple(fixed_dims), voxel)
     dims = tuple(int(d) for d in np.ceil((hi - lo) / voxel) + 1)
     return init_grid(lo, dims, voxel)
 
@@ -251,7 +260,7 @@ def _trilinear_color(colg: np.ndarray, vox_coords: np.ndarray) -> np.ndarray:
 
 
 def fuse_frames(frames, c2ws, fx, fy, cx, cy, voxel=0.02, trunc=0.04,
-                bounds=None, depth_trunc=30.0):
+                bounds=None, depth_trunc=30.0, fixed_dims=None):
     """Host helper: fuse a list of (color, depth) numpy frames.
 
     bounds=None derives them from unprojected depth samples.
@@ -272,7 +281,9 @@ def fuse_frames(frames, c2ws, fx, fy, cx, cy, voxel=0.02, trunc=0.04,
             pts_all.append(pts[ok])
         pts_all = np.concatenate(pts_all)
         bounds = (pts_all.min(0), pts_all.max(0))
-    grid = grid_for_bounds(bounds[0], bounds[1], voxel)
+    grid = grid_for_bounds(bounds[0], bounds[1], voxel,
+                           fixed_dims=fixed_dims)
+    trunc = max(trunc, 2.0 * float(grid.voxel))
     for (color, depth), c2w in zip(frames, c2ws):
         grid = integrate(grid, jnp.asarray(depth), jnp.asarray(color),
                          jnp.asarray(c2w, jnp.float32),

@@ -316,15 +316,14 @@ class LoopySLAM:
                                des, idx_start_features=n_carry)
         self.lc.on_new_segment(des)
 
-    def _tsdf_registration_cloud(self, start_idx, end_idx,
-                                 max_voxels=3.0e7):
+    def _tsdf_registration_cloud(self, start_idx, end_idx):
         """Fuse a segment's frames into a TSDF and return mesh vertices +
         colors — the registration cloud (compute_tsdf parity,
         neural_point.py:959-1017). The reference's ScalableTSDFVolume is
-        block-sparse; this grid is dense, so the voxel size adapts upward
-        when the segment's bounds would exceed max_voxels (the registration
-        pipeline voxel-downsamples to 0.04 anyway, so anything <= ~0.02
-        is equivalent for it)."""
+        block-sparse; this grid is dense with FIXED dims (the voxel adapts
+        to the segment bounds instead), so the jitted integrate compiles
+        once for the whole run. The registration pipeline voxel-downsamples
+        to 0.04 anyway, so any voxel <= ~0.02 is equivalent for it."""
         frames, poses = [], []
         for i in range(start_idx, end_idx):
             _, c, d, _ = self.dataset[i]
@@ -341,10 +340,12 @@ class LoopySLAM:
                 r = float(d[m].max())
                 lo = np.minimum(lo, t - r)
                 hi = np.maximum(hi, t + r)
-        vol = float(np.prod(np.maximum(hi - lo, 0.1)))
-        voxel = max(self.registration_voxel, (vol / max_voxels) ** (1 / 3))
+        if not np.isfinite(lo).all():
+            lo, hi = np.array([-3.0] * 3), np.array([3.0] * 3)
         grid = tsdf.fuse_frames(frames, poses, self.fx, self.fy, self.cx,
-                                self.cy, voxel=voxel, trunc=max(0.04, 2 * voxel))
+                                self.cy, voxel=self.registration_voxel,
+                                trunc=0.04, bounds=(lo, hi),
+                                fixed_dims=(192, 192, 192))
         verts, _faces, cols = tsdf.extract_mesh(grid)
         return verts, cols
 
