@@ -799,6 +799,12 @@ class LoopySLAM:
             if self.cfg["tracking"]["visual_odometer"]:
                 self._prev_frame = (color, depth)
 
+            # periodic checkpointing (Logger cadence, Mapper.py:1027-1033)
+            ckpt_freq = self.cfg["mapping"]["ckpt_freq"]
+            if (self.cfg["mapping"]["save_ckpts"] and idx > 0
+                    and idx % ckpt_freq == 0):
+                self.finalize(idx)
+
             if stop and idx != 0 and idx % stop == 0:
                 break
 

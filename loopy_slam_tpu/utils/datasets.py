@@ -318,4 +318,11 @@ dataset_dict = {
 
 
 def get_dataset(cfg, input_folder: Optional[str] = None) -> BaseDataset:
-    return dataset_dict[cfg["dataset"]](cfg, input_folder)
+    ds = dataset_dict[cfg["dataset"]](cfg, input_folder)
+    if len(ds) == 0:
+        raise FileNotFoundError(
+            f"dataset '{cfg['dataset']}' found no frames under "
+            f"'{ds.input_folder}' — set data.input_folder (or --input_folder)"
+            " to the scene directory, or use configs/Synthetic/room.yaml "
+            "which needs no downloads")
+    return ds
