@@ -211,15 +211,18 @@ class Synthetic(BaseDataset):
         super().__init__(cfg, input_folder)
         data = cfg["data"]
         self.n_img = int(data.get("n_frames", 40))
+        self.motion_speed = float(data.get("motion_speed", 0.004))
         self.box_lo = np.array(data.get("box_lo", [-2.0, -1.5, -2.0]))
         self.box_hi = np.array(data.get("box_hi", [2.0, 1.5, 2.0]))
         self.poses = [self._pose(i) for i in range(self.n_img)]
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
     def _pose(self, i: int) -> np.ndarray:
-        # fixed per-frame motion (~1.1 cm + ~0.25 deg per frame), independent
-        # of sequence length — the handheld-RGBD regime trackers expect
-        t = i * 0.004
+        # fixed per-frame motion (~1.1 cm + ~0.25 deg per frame at the
+        # default speed), independent of sequence length — the handheld-RGBD
+        # regime trackers expect; data.motion_speed=1/n gives a full orbit
+        # (a guaranteed revisit) every n frames
+        t = i * self.motion_speed
         ang = 0.35 * np.sin(2 * np.pi * t)      # yaw wobble (rad)
         pitch = 0.08 * np.sin(4 * np.pi * t)
         cx = 0.45 * np.sin(2 * np.pi * t)
