@@ -144,13 +144,31 @@ class LoopCloser:
                 for (s, t) in pairs]
         tic = time.perf_counter()
         if cfg.n_jobs > 1 and len(jobs) > 2:
-            # spawn context: fork inside a JAX-threaded process can deadlock
+            # spawn context: fork inside a JAX-threaded process can deadlock.
+            # Children must NOT claim the (single-client) TPU: scrub the
+            # accelerator env vars for the duration of the pool — spawned
+            # interpreters read os.environ at startup (sitecustomize
+            # registers the TPU backend whenever PALLAS_AXON_POOL_IPS is
+            # set), and registration is pure numpy/scipy anyway.
             import multiprocessing as _mp
+            import os as _os
 
-            with ProcessPoolExecutor(
-                    max_workers=cfg.n_jobs,
-                    mp_context=_mp.get_context("spawn")) as ex:
-                results = list(ex.map(_register_one, jobs))
+            saved = {k: _os.environ.pop(k) for k in
+                     ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+                     if k in _os.environ}
+            _os.environ["JAX_PLATFORMS"] = "cpu"
+            try:
+                with ProcessPoolExecutor(
+                        max_workers=cfg.n_jobs,
+                        mp_context=_mp.get_context("spawn")) as ex:
+                    results = list(ex.map(_register_one, jobs))
+            except Exception as e:
+                print(f"registration pool failed ({type(e).__name__}); "
+                      "falling back to in-process registration")
+                results = [_register_one(j) for j in jobs]
+            finally:
+                _os.environ.pop("JAX_PLATFORMS", None)
+                _os.environ.update(saved)
         else:
             results = [_register_one(j) for j in jobs]
         self.registration_times.append(time.perf_counter() - tic)
