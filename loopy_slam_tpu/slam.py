@@ -672,7 +672,7 @@ class LoopySLAM:
         # chunk the optimization so a single device program stays bounded
         # (long single executions can trip runtime watchdogs); Adam state
         # threads across chunks, so the result is identical to one program
-        chunk = int(self.cfg["mapping"].get("device_chunk_iters", 100))
+        chunk = int(self.cfg["mapping"].get("device_chunk_iters", 250))
         outer = 5 if color_refine else 1
         for _ in range(outer):
             st = adam_mod.init(trainable)
