@@ -243,6 +243,13 @@ class LoopCloser:
         self.pgo_times.append(time.perf_counter() - tic)
         solved = np.asarray(solved)
 
+        # sanity gate: a diverged solve must never be applied — corrections
+        # are small rigid nudges, not teleports
+        max_t = float(np.abs(solved[:, :3, 3]).max())
+        if not np.isfinite(solved).all() or max_t > 5.0:
+            print(f"pose-graph solve rejected (max correction {max_t:.2f} m)")
+            return None
+
         # corrections for ALL fragments; the active (never-registered)
         # segment reuses its predecessor's node (apply_correction,
         # neural_point.py:164-170)

@@ -98,10 +98,14 @@ def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
     idx_bits = jax.lax.bitcast_convert_type(order | _IDX_TAG, jnp.float32)
     packed = jnp.concatenate(
         [points[order], idx_bits[:, None]], axis=-1)
-    cell_data = jnp.full((table_size + 1, max_per_cell, 4), _FAR,
-                         jnp.float32)
-    cell_data = cell_data.at[:, :, 3].set(
-        jax.lax.bitcast_convert_type(_IDX_TAG, jnp.float32))
+    # broadcast (not scatter) init: XLA constant-folds big scatters of
+    # constants at compile time, baking a ~134 MB literal into every
+    # program containing build()
+    empty_row = jnp.concatenate(
+        [jnp.full((3,), _FAR, jnp.float32),
+         jax.lax.bitcast_convert_type(_IDX_TAG, jnp.float32)[None]])
+    cell_data = jnp.broadcast_to(
+        empty_row, (table_size + 1, max_per_cell, 4))
     cell_data = cell_data.at[row, col].set(packed, mode="drop")
     return HashGrid(cell_data=cell_data[:table_size],
                     cell_size=jnp.asarray(cell_size, jnp.float32))

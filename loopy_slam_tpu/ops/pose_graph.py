@@ -108,12 +108,19 @@ def optimize(g: PoseGraph, preference_loop_closure: float = 5.0,
         b = jnp.where(fix, 0.0, b)
         Hl = H + lam * jnp.eye(N * 6)
         delta = -jnp.linalg.solve(Hl, b)
-        new_nodes = nodes @ se3_exp(delta.reshape(N, 6))
-        # accept if cost decreased (simple LM schedule)
+        # trust region: an ill-conditioned system (e.g. a wrong loop edge
+        # with near-singular information) must not fling nodes away —
+        # cap each node's update to 0.5 in the se(3) norm per LM step
+        d6 = delta.reshape(N, 6)
+        norms = jnp.linalg.norm(d6, axis=-1, keepdims=True)
+        d6 = d6 * jnp.minimum(1.0, 0.5 / jnp.maximum(norms, 1e-12))
+        new_nodes = nodes @ se3_exp(d6)
+        # accept if the (finite) cost decreased (simple LM schedule)
         def cost(nd):
             rr = edge_residuals(nd, g)
             return jnp.sum(l * jnp.einsum("ei,eij,ej->e", rr, g.edge_info, rr))
-        better = cost(new_nodes) < cost(nodes)
+        new_cost = cost(new_nodes)
+        better = jnp.isfinite(new_cost) & (new_cost < cost(nodes))
         nodes = jnp.where(better, new_nodes, nodes)
         lam = jnp.where(better, lam * 0.5, lam * 4.0)
         l_new = line_weights(edge_residuals(nodes, g))
