@@ -51,10 +51,12 @@ def main():
     # steady state: drop compile-dominated leading calls (first tracked
     # frame; first two mapped frames — frame 0 and the first frame that
     # compiles the overlap-split insertion variants)
-    t_track = float(np.mean(track[1:])) if track.size > 1 else (
+    t_track = float(np.median(track[1:])) if track.size > 1 else (
         float(track.mean()) if track.size else 0.0)
     steady_mp = mp[2:] if mp.size > 2 else mp
-    t_map = float(np.mean(steady_mp)) if steady_mp.size else 0.0
+    # median: robust to one-time events inside a mapped frame (first
+    # segment boundary compiles the TSDF integrate program once per process)
+    t_map = float(np.median(steady_mp)) if steady_mp.size else 0.0
     per_frame = t_track + t_map / every
     fps = 1.0 / per_frame if per_frame > 0 else 0.0
 

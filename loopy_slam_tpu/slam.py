@@ -136,7 +136,7 @@ class LoopySLAM:
         self.kf_gt_c2w: Dict[int, np.ndarray] = {}
         self.selected_keyframes: Dict[int, List] = {}
 
-        self.prev_mapped_c2w = None  # est c2w of previous mapping frame
+        self.prev_mapped_idx = None  # previous mapping frame index
         self.cur_r_add = None
         self.cur_r_query = None
         self.encode_exposure = cfg["model"]["encode_exposure"]
@@ -517,8 +517,12 @@ class LoopySLAM:
             else:
                 add_n = m["pixels_adding"]
             cur_c2w_j = jnp.asarray(cur_c2w)
-            prev_j = jnp.asarray(self.prev_mapped_c2w
-                                 if self.prev_mapped_c2w is not None else cur_c2w)
+            # read the previous mapped pose FRESH from the trajectory so a
+            # loop-closure correction applied since then is reflected
+            # (reference reads estimate_c2w_list, Mapper.py:834,1007)
+            prev_j = jnp.asarray(self.estimate_c2w[self.prev_mapped_idx]
+                                 if self.prev_mapped_idx is not None
+                                 else cur_c2w)
             self.key, k1, k2, k3 = jax.random.split(self.key, 4)
             if m["filter_before_add_points"] and not init:
                 self.map_state, n1 = mapper_mod.add_points_from_frame(
@@ -545,6 +549,9 @@ class LoopySLAM:
                     pick = self.nprng.choice(flat.size,
                                              size=min(npx_grad, flat.size),
                                              replace=False)
+                    if pick.size < npx_grad:  # pad: keep the jit shape fixed
+                        pick = np.concatenate(
+                            [pick, pick[:npx_grad - pick.size]])
                     self.map_state, n3 = mapper_mod.add_points_at_pixels(
                         self.map_state, color, depth, cur_c2w_j,
                         jnp.asarray(flat[pick], jnp.int32), k3,
@@ -713,7 +720,7 @@ class LoopySLAM:
                 and idx not in self.keyframe_global_list and ok_gt):
             self._add_keyframe(idx, color, depth, cur_c2w, gt_c2w)
             self.keyframe_global_list.append(idx)
-        self.prev_mapped_c2w = cur_c2w.copy()
+        self.prev_mapped_idx = idx
 
     # ------------------------------------------------------------------
     # Full-image rendering (for eval/visualization)
