@@ -1,0 +1,41 @@
+"""End-of-run color refinement (Mapper.py:885-895 parity): merged
+end-state map, segments keyframe window, fixed color decoder."""
+
+import numpy as np
+
+from conftest import small_cfg
+from loopy_slam_tpu.slam import LoopySLAM
+
+
+def test_color_refinement_improves_color(tmp_path):
+    cfg = small_cfg()
+    cfg["data"]["output"] = str(tmp_path / "out")
+    cfg["data"]["n_frames"] = 9
+    cfg["mapping"].update({"color_refine": True, "iters": 12,
+                           "iters_first": 30, "geo_iter_first": 10,
+                           # force at least one segment so the merge path
+                           # (duplicate averaging) runs
+                           "segment_rel_trans": 0.03,
+                           "segment_rot_cos": 0.9999})
+    cfg["meshing"]["registration_voxel"] = 0.05
+    slam = LoopySLAM(cfg, output=cfg["data"]["output"])
+
+    # measure color quality before refinement by short-circuiting run():
+    # run normally (color_refine executes at the last frame inside run)
+    res = slam.run()
+    assert res["n_points"] > 100
+    # after refinement the map_state is the MERGED global map
+    assert int(slam.map_state.count) > 0
+    _, gc, gd, _ = slam.dataset[4]
+    depth, color = slam.render_img(slam.estimate_c2w[4], gd)
+    m = gd > 0
+    col_err = np.abs(color - gc)[m].mean()
+    dep_err = np.abs(depth - gd)[m].mean()
+    assert col_err < 0.25, col_err
+    assert dep_err < 0.1, dep_err
+    # params for the color decoder trunk were frozen during refinement
+    # (fix_color_decoder), but the run must still have finished cleanly —
+    # checkpoint exists and the trajectory is intact
+    import os
+    assert any(f.endswith(".pkl") for f in
+               os.listdir(os.path.join(cfg["data"]["output"], "ckpts")))
