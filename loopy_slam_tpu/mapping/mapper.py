@@ -156,6 +156,13 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
     ks, kr = jax.random.split(key)
     keys = jax.random.split(ks, F)
 
+    if "cams" in trainable:
+        # bundle adjustment: window poses are trainable 7-vectors
+        # (Mapper.py:543-560); rays derive from them so pose gradients flow
+        from ..ops.camera import c2w_from_tensor
+
+        kf_c2w = c2w_from_tensor(trainable["cams"])  # (F, 3, 4)
+
     def per_frame(k, c2w, depth, color):
         return sample_rays(k, 0, opts.H, 0, opts.W, pix_per_frame, c2w,
                            depth, color, opts.fx, opts.fy, opts.cx, opts.cy)
@@ -207,7 +214,8 @@ def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
                  n_geo_iters, n_col_iters, lrs_geo, lrs_col,
                  opts: MapperOptions, ropts: RenderOptions,
                  pix_per_frame: int, use_dynamic_radius: bool = False,
-                 kf_exposure=None):
+                 kf_exposure=None, ba_row_mask=None, ba_lr=None,
+                 ba_window=None, iter_offset=None):
     """Run a chunk of the geometry->color mapping optimization.
 
     trainable: {"dec": decoder params, "feat": (cap, 2c) packed features}
@@ -230,13 +238,17 @@ def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
         }
         if "exp" in g:
             out["exp"] = g["exp"]
+        if "cams" in g:
+            out["cams"] = g["cams"]
         return out
+
+    it0 = jnp.zeros((), jnp.int32) if iter_offset is None else iter_offset
 
     def phase(stage, n_iters, lrs, carry):
         grad_fn = jax.value_and_grad(_map_loss, has_aux=True)
 
         def body(_, carry):
-            trainable, st, k, _ = carry
+            trainable, st, k, it, _ = carry
             k, kiter = jax.random.split(k)
             (loss, aux), g = grad_fn(trainable, None, map_pos, grid,
                                      kf_color, kf_depth, kf_c2w, kf_rq,
@@ -252,16 +264,24 @@ def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
             }
             if "exp" in trainable:
                 lr_tree["exp"] = 0.001  # exposure latent lr (Mapper.py:569)
+            if "cams" in trainable:
+                # BA poses train only inside the iteration window
+                # [ba_window[0], ba_window[1]) (Mapper.py:602-607), never
+                # the oldest frame nor padded window rows (ba_row_mask)
+                in_win = ((it >= ba_window[0]) & (it < ba_window[1])
+                          ).astype(jnp.float32)
+                lr_tree["cams"] = (ba_lr * in_win
+                                   * ba_row_mask[:, None])
             trainable, st = adam.update(trainable, g, st, lr_tree)
-            return trainable, st, k, aux
+            return trainable, st, k, it + 1, aux
 
         return jax.lax.fori_loop(0, n_iters, body, carry)
 
     zero_aux = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
-    carry = (trainable, adam_state, key, zero_aux)
+    carry = (trainable, adam_state, key, it0, zero_aux)
     carry = phase("geometry", n_geo_iters, lrs_geo, carry)
     carry = phase("color", n_col_iters, lrs_col, carry)
-    trainable, adam_state, _, aux = carry
+    trainable, adam_state, _, it_out, aux = carry
     return trainable, adam_state, aux
 
 

@@ -659,7 +659,33 @@ class LoopySLAM:
                           "mapping": {**m, "fix_color_decoder": True}}
             dec_mask = trainable_mask(self.params, refine_cfg)
 
+        # bundle adjustment (Mapper.py:543-560,955-958): enabled once the
+        # window has enough keyframes; poses become trainable 7-vectors,
+        # the OLDEST keyframe and padded duplicate rows stay fixed
+        ba_active = (m["BA"] and not color_refine
+                     and len(self.keyframe_list) > 4)
+        ba_row_mask = ba_lr = ba_window = iter_offset = None
+        if ba_active:
+            cams = np.stack([tensor_from_c2w(
+                cur_c2w if i is None else self.kf_est_c2w[i])
+                for i in window]).astype(np.float32)
+            kf_rows = [i for i in window if i is not None]
+            oldest = min(kf_rows) if kf_rows else None
+            seen = set()
+            mask_rows = []
+            for i in window:
+                first = i not in seen
+                seen.add(i)
+                mask_rows.append(1.0 if (first and i != oldest) else 0.0)
+            ba_row_mask = jnp.asarray(mask_rows, jnp.float32)
+            ba_lr = jnp.asarray(m["BA_cam_lr"], jnp.float32)
+
         trainable = {"dec": self.params, "feat": self.map_state.feat}
+        if ba_active:
+            trainable["cams"] = jnp.asarray(cams)
+            ba_window = jnp.asarray(
+                [num * (m["geo_iter_ratio"] + 0.2),
+                 num * (m["geo_iter_ratio"] + 0.3)], jnp.float32)
         kf_exposure = None
         if self.encode_exposure:
             dim = self.exposure_feat.shape[0]
@@ -693,11 +719,30 @@ class LoopySLAM:
                     self.map_state.grid, kc, kd, kp, krq, km,
                     jnp.asarray(g), jnp.asarray(c), lrs_geo, lrs_col,
                     self.mopts, self.ropts_mapper, pix_per_frame,
-                    self.use_dynamic_radius, kf_exposure)
+                    self.use_dynamic_radius, kf_exposure,
+                    ba_row_mask=ba_row_mask, ba_lr=ba_lr,
+                    ba_window=ba_window,
+                    iter_offset=jnp.asarray(done_geo + done_col, jnp.int32))
                 done_geo += g
                 done_col += c
         if self.encode_exposure:
             self.exposure_feat = trainable["exp"]
+        if ba_active:
+            # write optimized poses back (Mapper.py:782-797): keyframes'
+            # est_c2w (first-occurrence rows only) and the current pose
+            new_cams = np.asarray(trainable["cams"])
+            seen = set()
+            for row, i in enumerate(window):
+                if i in seen or mask_rows[row] == 0.0:
+                    continue
+                seen.add(i)
+                c2w4 = np.asarray(c2w_to_4x4(
+                    c2w_from_tensor(jnp.asarray(new_cams[row]))))
+                if i is None:
+                    cur_c2w = c2w4
+                    self.estimate_c2w[idx] = c2w4
+                else:
+                    self.kf_est_c2w[i] = c2w4
         self.params = trainable["dec"]
         self.map_state = self.map_state._replace(feat=trainable["feat"])
         g, c, n = (float(aux[0]), float(aux[1]), float(aux[2]))
