@@ -168,8 +168,12 @@ DEFAULTS: Dict[str, Any] = {
         "fix_interval_when_add_along_ray": False,
         # TPU-native additions (static-shape capacity planning):
         "capacity": 2 ** 19,          # max points in the global buffer
-        "cell_table_size": 2 ** 20,   # spatial-hash table size
-        "max_per_cell": 16,           # candidate slots gathered per hash cell
+        "cell_table_size": 2 ** 17,   # spatial-hash table size
+        "max_per_cell": 64,           # candidate slots per hash-cell row.
+                                      # A planar patch holds up to
+                                      # (cell/radius_add)^2 * N_add = 48
+                                      # points at defaults; 64 gives margin
+                                      # (overflow silently drops neighbors)
     },
 }
 

@@ -40,19 +40,26 @@ class MapOptions(NamedTuple):
     near_end_surface: float = 0.98
     far_end_surface: float = 1.02
     fix_interval_when_add_along_ray: bool = False
-    cell_size: float = 0.08
-    table_size: int = 2 ** 20
-    max_per_cell: int = 16
+    cell_size: float = 0.16
+    table_size: int = 2 ** 17
+    max_per_cell: int = 32
 
     @staticmethod
     def from_cfg(cfg):
         pc = cfg["pointcloud"]
-        # Cell edge must cover the largest query radius so the 3x3x3 stencil
-        # is exact (dynamic radius can reach radius_query_ratio*radius_add_max).
+        # Cell edge must be >= 2x the largest query radius so the 2x2x2
+        # stencil covers the radius ball exactly (dynamic radius can reach
+        # radius_query_ratio * radius_add_max).
         if cfg["use_dynamic_radius"]:
-            cell = float(pc["radius_query_ratio"] * pc["radius_add_max"])
+            cell = 2.0 * float(pc["radius_query_ratio"] * pc["radius_add_max"])
+            # bigger cells hold more points: scale slot capacity with the
+            # cell volume over the insertion min-spacing so rows don't
+            # overflow (overflow silently drops neighbors; grid.n_dropped
+            # counts them)
+            mpc = max(int(pc["max_per_cell"]), 128)
         else:
-            cell = float(pc["radius_query"])
+            cell = 2.0 * float(pc["radius_query"])
+            mpc = int(pc["max_per_cell"])
         return MapOptions(
             capacity=int(pc["capacity"]),
             input_capacity=int(pc.get("input_capacity", pc["capacity"])),
@@ -68,7 +75,7 @@ class MapOptions(NamedTuple):
                 pc["fix_interval_when_add_along_ray"]),
             cell_size=cell,
             table_size=int(pc["cell_table_size"]),
-            max_per_cell=int(pc["max_per_cell"]),
+            max_per_cell=mpc,
         )
 
 
@@ -163,8 +170,10 @@ def add_points(state: MapState, opts: MapOptions, key,
     in_rgb = state.in_rgb.at[in_dest].set(gt_color, mode="drop")
     in_count = jnp.minimum(state.in_count + n_loc, opts.input_capacity)
 
-    grid = knn.build(pos, jnp.arange(cap) < count, opts.cell_size,
-                     opts.table_size, opts.max_per_cell)
+    # incremental index update: O(batch) instead of a full rebuild
+    grid = knn.insert(state.grid, opts.table_size,
+                      new_pts.reshape(-1, 3), dest.reshape(-1),
+                      jnp.repeat(gate, opts.N_add))
     return MapState(pos=pos, feat=feat, count=count, grid=grid,
                     in_pos=in_pos, in_rgb=in_rgb, in_count=in_count), n_loc
 

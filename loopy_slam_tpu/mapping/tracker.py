@@ -181,4 +181,10 @@ def track_frame(params, map_pos, grid, feats,
         0, opts.iters, body, init)
     ef_out = opt_vars.get("exp_feat")
     mlp_out = opt_vars.get("exp_mlp")
-    return best_cam, first_loss, best_loss, ef_out, mlp_out
+    # the 4x4 pose is produced in-program: converting on the host would
+    # dispatch ~10 eager device ops (each a multi-ms round trip on remote
+    # runtimes)
+    from ..ops.camera import c2w_from_tensor, c2w_to_4x4
+
+    best_c2w44 = c2w_to_4x4(c2w_from_tensor(best_cam))
+    return best_cam, best_c2w44, first_loss, best_loss, ef_out, mlp_out

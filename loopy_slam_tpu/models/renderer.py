@@ -48,8 +48,8 @@ class RenderOptions(NamedTuple):
     nn_num: int = 8
     min_nn_num: int = 2
     radius_query: float = 0.08
-    table_size: int = 2 ** 20
-    max_per_cell: int = 16
+    table_size: int = 2 ** 17
+    max_per_cell: int = 32
     weighting: str = "distance"
     c_dim: int = 32
     encode_rel_pos_in_col: bool = True
@@ -71,7 +71,12 @@ class RenderOptions(NamedTuple):
             min_nn_num=cfg["pointcloud"]["min_nn_num"],
             radius_query=cfg["pointcloud"]["radius_query"],
             table_size=cfg["pointcloud"]["cell_table_size"],
-            max_per_cell=cfg["pointcloud"]["max_per_cell"],
+            # mirror MapOptions.from_cfg: dynamic radius widens cells, so
+            # slot capacity scales up (the grid's build-time value is
+            # authoritative at query; this keeps the configs in agreement)
+            max_per_cell=(max(cfg["pointcloud"]["max_per_cell"], 128)
+                          if cfg["use_dynamic_radius"]
+                          else cfg["pointcloud"]["max_per_cell"]),
             weighting=cfg["pointcloud"]["nn_weighting"],
             c_dim=cfg["model"]["c_dim"],
             encode_rel_pos_in_col=cfg["model"]["encode_rel_pos_in_col"],

@@ -103,6 +103,23 @@ def c2w_to_4x4(c2w34: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([c2w34, bottom], axis=0)
 
 
+def np_c2w_from_tensor(t7: np.ndarray) -> np.ndarray:
+    """Pose 7-vector -> 4x4 c2w, pure numpy (host path: converting device
+    arrays eagerly costs ~10 multi-ms dispatches on remote runtimes)."""
+    q = np.asarray(t7[:4], np.float64)
+    qr, qi, qj, qk = q
+    s = 2.0 / np.dot(q, q)
+    R = np.array([
+        [1 - s * (qj**2 + qk**2), s * (qi*qj - qk*qr), s * (qi*qk + qj*qr)],
+        [s * (qi*qj + qk*qr), 1 - s * (qi**2 + qk**2), s * (qj*qk - qi*qr)],
+        [s * (qi*qk - qj*qr), s * (qj*qk + qi*qr), 1 - s * (qi**2 + qj**2)],
+    ])
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R
+    out[:3, 3] = t7[4:]
+    return out
+
+
 def rays_from_uv(i, j, c2w, fx, fy, cx, cy):
     """Pixel coords (i=col, j=row, float) + c2w -> (rays_o, rays_d).
 

@@ -3,22 +3,30 @@
 TPU-native replacement for the reference's faiss-gpu IVFFlat index
 (reference src/neural_point.py:67-71,1659-1708): instead of IVF clustering
 (train/add/search with nprobe=4, approximate), points are hashed into a
-spatial grid of cell edge >= the query radius. A query inspects the 3x3x3
-neighboring cells and takes the k nearest candidates — exact within the
-radius as long as radius <= cell_size, fully jittable, static shapes.
+spatial grid of cell edge >= TWICE the largest query radius. A query
+inspects the 2x2x2 block of cells starting at floor((q - r) / cell) —
+which covers the radius-r ball exactly when r <= cell/2 — and takes the k
+nearest candidates. Exact within the radius, fully jittable, static
+shapes.
 
-Performance-critical layout (measured on a v5e): XLA gather cost on TPU is
-per-ROW (~6 ns/row regardless of row width up to 128 lanes), so the index
-is ONE WIDE ROW PER CELL: `cell_data[h]` holds the cell's up-to-M
-candidates packed as (x, y, z, bitcast(point_index)) — a 25k-query batch
-costs 675k row-gathers instead of 10.8M element-gathers (~65 ms -> ~5 ms),
-and the winners' point indices come back by bitcasting the 4th lane, with
-no second gather. Empty slots hold positions of 1e9 so validity falls out
-of the distance test; no per-cell counts are needed at query time.
-
-Hash collisions merge cells' candidate rows (the distance test filters
-false candidates, exactly like extra faiss probes); true neighbors are
-lost only if a row overflows its M slots.
+Performance-critical layout (measured on a v5e):
+  * XLA gather cost on TPU is per-ROW, so the index is ONE WIDE ROW PER
+    CELL: cell_data[h] holds the cell's up-to-M candidates packed as
+    (x, y, z, bitcast(point_index)). With M = 32 a row is exactly 128
+    f32 lanes — the native register width — and a 25k-query batch costs
+    200k row-gathers (the 27-cell/radius-sized-cell variant cost 675k).
+  * Candidate selection (squared distances + top-k) runs in a Pallas
+    kernel on the gathered rows. Distances over the packed (x,y,z,idx)
+    lane groups and an unrolled k-pass argmin stay VMEM-local in the
+    native 128-lane layout; expressing the same in XLA materializes
+    (Q, 27, M, 4)-shaped HBM intermediates whose 4-wide minor dimension
+    runs the VPU at 1/32 utilization (~7 ms of a 14 ms query).
+  * Empty slots hold positions of 1e9 so validity falls out of the
+    distance test; hash collisions merge cells' candidate rows (the
+    distance test filters false candidates); true neighbors are lost only
+    if a merged row overflows its M slots. Point indices are bitcast into
+    the 4th lane with exponent bit 30 set — raw patterns of small ints are
+    DENORMAL floats that the TPU data path flushes to zero.
 
 Query semantics match find_neighbors_faiss: returns squared L2 distances D
 (ascending), indices I, and neighbor_num = count(D < radius^2), where the
@@ -27,18 +35,21 @@ radius may be scalar or per-query (dynamic radius).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Large primes for 3-D spatial hashing (Teschner et al. 2003).
 _P1, _P2, _P3 = np.int32(73856093), np.int32(19349669), np.int32(83492791)
 
-# 27 neighbor-cell offsets, static.
-_OFFSETS = np.array(
-    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+# 2x2x2 neighbor-cell offsets from the stencil base cell, static.
+_OFFSETS8 = np.array(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
     dtype=np.int32,
 )
 
@@ -49,14 +60,20 @@ _IDX_TAG = np.int32(1 << 30)  # exponent tag keeping packed indices normal
 class HashGrid(NamedTuple):
     """Spatial-hash index: one packed candidate row per cell.
 
-    cell_data: (table_size, max_per_cell, 4) float32 — per candidate
+    cell_data: (table_size + 1, max_per_cell, 4) float32 — per candidate
       (x, y, z, bitcast int32 point-buffer index); empty slots are
-      (1e9, 1e9, 1e9, bitcast 0).
-    cell_size: () float32.
+      (1e9, 1e9, 1e9, bitcast tag). Row table_size is the always-empty
+      overflow row; duplicate stencil probes are redirected to it.
+    cell_size: () float32 — cell edge, >= 2 * max query radius.
+    n_dropped: () int32 — points not indexed because their (possibly
+      hash-merged) cell row overflowed max_per_cell. Diagnostic.
     """
 
     cell_data: jnp.ndarray
     cell_size: jnp.ndarray
+    n_dropped: jnp.ndarray
+    cell_fill: jnp.ndarray  # (table_size + 1,) int32 occupied slots per row
+                            # (enables O(batch) incremental `insert`)
 
 
 def _hash_cells(ijk: jnp.ndarray, table_size: int) -> jnp.ndarray:
@@ -71,7 +88,7 @@ def _cell_of(points: jnp.ndarray, cell_size) -> jnp.ndarray:
 
 
 def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
-          table_size: int, max_per_cell: int = 16) -> HashGrid:
+          table_size: int, max_per_cell: int = 32) -> HashGrid:
     """Build (or rebuild) the index. O(N log N) sort + scatter, jittable.
 
     Replaces faiss index train/add (reference neural_point.py:1623-1627);
@@ -88,7 +105,9 @@ def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
          jnp.cumsum(counts)[:-1].astype(jnp.int32)])
     # rank of each sorted point within its cell
     rank = jnp.arange(cap, dtype=jnp.int32) - starts[codes_sorted]
-    ok = (codes_sorted < table_size) & (rank < max_per_cell)
+    in_table = codes_sorted < table_size
+    ok = in_table & (rank < max_per_cell)
+    n_dropped = jnp.sum(in_table & ~ok).astype(jnp.int32)
     row = jnp.where(ok, codes_sorted, table_size)
     col = jnp.where(ok, rank, 0)
     # indices are < 2^23, whose raw bit patterns are DENORMAL floats — TPU
@@ -99,22 +118,153 @@ def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
     packed = jnp.concatenate(
         [points[order], idx_bits[:, None]], axis=-1)
     # broadcast (not scatter) init: XLA constant-folds big scatters of
-    # constants at compile time, baking a ~134 MB literal into every
-    # program containing build()
+    # constants at compile time, baking a huge literal into every program
     empty_row = jnp.concatenate(
         [jnp.full((3,), _FAR, jnp.float32),
          jax.lax.bitcast_convert_type(_IDX_TAG, jnp.float32)[None]])
     cell_data = jnp.broadcast_to(
         empty_row, (table_size + 1, max_per_cell, 4))
+    # row table_size (the overflow row) keeps its empty init: scatters of
+    # invalid/overflowed points are routed there and overwrite only it
     cell_data = cell_data.at[row, col].set(packed, mode="drop")
-    return HashGrid(cell_data=cell_data[:table_size],
-                    cell_size=jnp.asarray(cell_size, jnp.float32))
+    cell_data = cell_data.at[table_size].set(empty_row)
+    fill = jnp.minimum(counts, max_per_cell).at[table_size].set(0)
+    return HashGrid(cell_data=cell_data,
+                    cell_size=jnp.asarray(cell_size, jnp.float32),
+                    n_dropped=n_dropped,
+                    cell_fill=fill)
+
+
+def insert(grid: HashGrid, table_size: int, new_points: jnp.ndarray,
+           new_idx: jnp.ndarray, new_valid: jnp.ndarray) -> HashGrid:
+    """Incrementally add a batch of points to an existing index.
+
+    O(A log A) in the batch size — replaces the full O(N log N) rebuild on
+    every insertion (the reference retrains its faiss index per batch,
+    neural_point.py:1623-1627; a full rebuild here costs ~11 ms vs ~1 ms
+    for this). Produces the same candidate SET as a rebuild (slot order
+    within a row may differ, which no consumer observes).
+    """
+    M = grid.cell_data.shape[1]
+    A = new_points.shape[0]
+    codes = _hash_cells(_cell_of(new_points, grid.cell_size), table_size)
+    codes = jnp.where(new_valid, codes, jnp.int32(table_size))
+    order = jnp.argsort(codes).astype(jnp.int32)
+    cs = codes[order]
+    # rank within equal codes: position minus first occurrence (cs sorted)
+    first = jnp.searchsorted(cs, cs, side="left").astype(jnp.int32)
+    rank = jnp.arange(A, dtype=jnp.int32) - first
+    col = grid.cell_fill[cs] + rank
+    in_table = cs < table_size
+    ok = in_table & (col < M)
+    n_drop = jnp.sum(in_table & ~ok).astype(jnp.int32)
+    row = jnp.where(ok, cs, table_size)
+    col = jnp.where(ok, col, 0)
+    idx_bits = jax.lax.bitcast_convert_type(
+        new_idx[order] | _IDX_TAG, jnp.float32)
+    packed = jnp.concatenate([new_points[order], idx_bits[:, None]],
+                             axis=-1)
+    cell_data = grid.cell_data.at[row, col].set(packed, mode="drop")
+    # restore the overflow row (drops land there via row == table_size)
+    empty_row = jnp.concatenate(
+        [jnp.full((3,), _FAR, jnp.float32),
+         jax.lax.bitcast_convert_type(_IDX_TAG, jnp.float32)[None]])
+    cell_data = cell_data.at[table_size].set(empty_row)
+    delta = jnp.zeros((table_size + 1,), jnp.int32).at[codes].add(
+        new_valid.astype(jnp.int32))
+    fill = jnp.minimum(grid.cell_fill + delta, M).at[table_size].set(0)
+    return HashGrid(cell_data=cell_data, cell_size=grid.cell_size,
+                    n_dropped=grid.n_dropped + n_drop, cell_fill=fill)
+
+
+# ---------------------------------------------------------------------------
+# Pallas candidate-selection kernel
+# ---------------------------------------------------------------------------
+
+def _select_kernel(rows_ref, q_ref, out_ref, *, k: int):
+    """Top-k nearest among a query's gathered candidates, VMEM-local.
+
+    rows_ref: (B, C) f32 — 8 stencil rows concatenated, C = 8*M*4 lanes in
+      (x, y, z, idxbits) groups of 4.
+    q_ref: (B, 4) f32 — query xyz (lane 3 unused).
+    out_ref: (B, 5*k_pad) f32 — packed [D | idxbits | x | y | z], each a
+      k_pad-lane group (k_pad = k rounded up to 8 for sublane alignment).
+    """
+    rows = rows_ref[:]
+    B, C = rows.shape
+    k_pad = out_ref.shape[1] // 5
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    mod4 = lane & 3
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    qtile = (jnp.where(mod4 == 0, qx, 0.0)
+             + jnp.where(mod4 == 1, qy, 0.0)
+             + jnp.where(mod4 == 2, qz, 0.0))
+    diff = rows - qtile
+    d2l = jnp.where(mod4 == 3, 0.0, diff * diff)
+    # group-of-4 sums land on the group base lane (mod4 == 0); the rolls
+    # never wrap across a group because base lanes end at C-4. pltpu.roll
+    # requires non-negative shifts: roll by C-s == roll by -s (circular).
+    d2 = (d2l + pltpu.roll(d2l, C - 1, 1) + pltpu.roll(d2l, C - 2, 1))
+    big = jnp.float32(3.9e18)  # > 3*(1e9+..)^2, far below f32 inf
+    cand = jnp.where(mod4 == 0, d2, big)
+    idx_lane = pltpu.roll(rows, C - 3, 1)  # idxbits aligned to group base
+
+    for kk in range(k):
+        m = jnp.min(cand, axis=1, keepdims=True)  # (B, 1) min distance
+        # first lane achieving the min (strict: ties pick one winner)
+        l = jnp.min(jnp.where(cand == m, lane, C), axis=1, keepdims=True)
+        oh = lane == l
+        out_ref[:, kk] = m[:, 0]
+        out_ref[:, k_pad + kk] = jnp.sum(jnp.where(oh, idx_lane, 0.0),
+                                         axis=1)
+        out_ref[:, 2 * k_pad + kk] = jnp.sum(jnp.where(oh, rows, 0.0),
+                                             axis=1)
+        out_ref[:, 3 * k_pad + kk] = jnp.sum(
+            jnp.where(lane == l + 1, rows, 0.0), axis=1)
+        out_ref[:, 4 * k_pad + kk] = jnp.sum(
+            jnp.where(lane == l + 2, rows, 0.0), axis=1)
+        cand = jnp.where(oh, big, cand)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _select_topk(rows: jnp.ndarray, q4: jnp.ndarray, k: int,
+                 block: int = 256):
+    """rows (Q, C), q4 (Q, 4) -> packed (Q, 5*k_pad) selection output."""
+    Q, C = rows.shape
+    k_pad = -(-k // 8) * 8
+    Qp = -(-Q // block) * block
+    if Qp != Q:
+        rows = jnp.pad(rows, ((0, Qp - Q), (0, 0)),
+                       constant_values=_FAR)
+        q4 = jnp.pad(q4, ((0, Qp - Q), (0, 0)))
+    interpret = jax.devices()[0].platform == "cpu"
+    out = pl.pallas_call(
+        functools.partial(_select_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((Qp, 5 * k_pad), jnp.float32),
+        grid=(Qp // block,),
+        in_specs=[
+            pl.BlockSpec((block, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block, 5 * k_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows, q4)
+    return out[:Q]
 
 
 def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
-          k: int, radius, table_size: int, max_per_cell: int = 16,
+          k: int, radius, table_size: int, max_per_cell: int = 32,
           return_pos: bool = False):
-    """k nearest neighbors of each query within the 3x3x3 cell stencil.
+    """k nearest neighbors of each query within the 2x2x2 cell stencil.
+
+    Exact within `radius` provided radius <= grid.cell_size / 2 (the
+    stencil base cell is floor((q - radius) / cell), so the radius ball is
+    covered by the 8 probed cells).
 
     Args:
       grid: HashGrid over `points`.
@@ -122,51 +272,51 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
         from the packed rows).
       queries: (Q, 3).
       k: neighbors returned (pointcloud.nn_num = 8).
-      radius: scalar or (Q,) — the radius used for neighbor_num counting.
+      radius: scalar or (Q,) — neighbor_num counting radius AND the
+        stencil placement radius.
       table_size: static hash table size (power of two).
-      max_per_cell: static candidate slots per cell row.
+      max_per_cell: static candidate slots per cell row (build-time value
+        wins; kept for API parity).
 
     Returns:
       D: (Q, k) squared distances, ascending; empty slots hold >= 1e10.
       I: (Q, k) int32 indices into the point buffer (0 where empty).
       neighbor_num: (Q,) int32 count of D < radius**2.
+      [pos: (Q, k, 3) neighbor positions, if return_pos]
     """
     M = grid.cell_data.shape[1]  # authoritative (build-time) slot count
     Q = queries.shape[0]
-    q_cells = _cell_of(queries, grid.cell_size)  # (Q, 3)
-    cells = q_cells[:, None, :] + jnp.asarray(_OFFSETS)[None, :, :]  # (Q,27,3)
-    h = _hash_cells(cells, table_size)  # (Q, 27)
+    r = jnp.asarray(radius, jnp.float32)
+    r_col = r[:, None] if r.ndim == 1 else r
+    base = jnp.floor((queries - r_col) / grid.cell_size).astype(jnp.int32)
+    cells = base[:, None, :] + jnp.asarray(_OFFSETS8)[None, :, :]  # (Q,8,3)
+    h = _hash_cells(cells, table_size)  # (Q, 8)
 
-    # Drop cells whose hash collides with an earlier cell in the stencil —
-    # otherwise the same row would be scanned twice and a neighbor
-    # duplicated (faiss never returns duplicates).
+    # Redirect duplicate stencil probes (hash collisions within the
+    # stencil) to the always-empty overflow row — otherwise the same row
+    # would be scanned twice and a neighbor duplicated.
     dup = jnp.tril(h[:, :, None] == h[:, None, :], k=-1).any(axis=-1)
+    h = jnp.where(dup, table_size, h)
 
-    rows = jnp.take(grid.cell_data.reshape(table_size, M * 4),
-                    h.reshape(-1), axis=0).reshape(Q, 27, M, 4)
-    cand_pos = rows[..., :3]
-    diff = cand_pos - queries[:, None, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.where(dup[..., None], jnp.inf, d2)
+    rows = jnp.take(grid.cell_data.reshape(table_size + 1, M * 4),
+                    h.reshape(-1), axis=0).reshape(Q, 8 * M * 4)
+    q4 = jnp.pad(queries, ((0, 0), (0, 1)))
+    packed = _select_topk(rows, q4, k)
 
-    flat_d2 = d2.reshape(Q, -1)
-    neg_top, top_pos = jax.lax.top_k(-flat_d2, k)
-    D = -neg_top
-    idx_f = jnp.take_along_axis(rows[..., 3].reshape(Q, -1), top_pos,
-                                axis=-1)
+    k_pad = -(-k // 8) * 8
+    D = packed[:, :k]
+    idx_f = packed[:, k_pad:k_pad + k]
     I = jax.lax.bitcast_convert_type(idx_f, jnp.int32) & (_IDX_TAG - 1)
     valid_hit = D < 1e10  # empty slots sit at >= (1e9)^2-ish distances
     I = jnp.where(valid_hit, I, 0)
     D = jnp.where(valid_hit, D, 1e10)
 
-    r = jnp.asarray(radius)
     r2 = (r**2)[..., None] if r.ndim == 1 else r**2
     neighbor_num = jnp.sum(D < r2, axis=-1).astype(jnp.int32)
     if return_pos:
-        # winners' positions straight from the already-fetched candidate
-        # rows — saves the caller a 200k-row HBM gather of points[I]
-        pos = jnp.take_along_axis(cand_pos.reshape(Q, -1, 3),
-                                  top_pos[..., None], axis=1)
+        pos = jnp.stack([packed[:, 2 * k_pad:2 * k_pad + k],
+                         packed[:, 3 * k_pad:3 * k_pad + k],
+                         packed[:, 4 * k_pad:4 * k_pad + k]], axis=-1)
         pos = jnp.where(valid_hit[..., None], pos, _FAR)
         return D, I, neighbor_num, pos
     return D, I, neighbor_num

@@ -7,7 +7,7 @@ from loopy_slam_tpu.ops import knn
 TABLE = 2 ** 16
 
 
-def build_random(rng, n=500, cap=1024, cell=0.2):
+def build_random(rng, n=500, cap=1024, cell=0.4):
     pts = rng.uniform(-1.0, 1.0, size=(cap, 3)).astype(np.float32)
     valid = np.zeros(cap, bool)
     valid[:n] = True
@@ -16,16 +16,17 @@ def build_random(rng, n=500, cap=1024, cell=0.2):
 
 
 def test_knn_matches_brute_force(rng):
-    cell = 0.2
+    cell = 0.4  # exactness contract: query radius <= cell / 2
     pts, valid, grid = build_random(rng, cell=cell)
     q = rng.uniform(-0.9, 0.9, size=(64, 3)).astype(np.float32)
+    r = cell / 2
     D, I, nn = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
-                         cell, TABLE, max_per_cell=64)
+                         r, TABLE, max_per_cell=64)
     Db, Ib = knn.brute_force_knn(jnp.asarray(pts), jnp.asarray(valid),
                                  jnp.asarray(q), 8)
     D, Db = np.asarray(D), np.asarray(Db)
     nn = np.asarray(nn)
-    r2 = cell ** 2
+    r2 = r ** 2
     # within the radius the hash-grid result must equal exact k-NN
     for qi in range(q.shape[0]):
         exact_in = np.sort(Db[qi][Db[qi] < r2])
@@ -82,3 +83,34 @@ def test_per_query_radius(rng):
                             0.05, TABLE, max_per_cell=64)
     assert (np.asarray(nn)[:8] == np.asarray(nn2)[:8]).all()
     assert (np.asarray(nn)[8:] >= np.asarray(nn2)[8:]).all()
+
+
+def test_incremental_insert_matches_rebuild(rng):
+    """knn.insert must yield the same query results as a full rebuild."""
+    cell = 0.4
+    cap = 1024
+    pts = rng.uniform(-1.0, 1.0, size=(cap, 3)).astype(np.float32)
+    valid = np.zeros(cap, bool)
+    valid[:300] = True
+    grid = knn.build(jnp.asarray(pts), jnp.asarray(valid), cell, TABLE)
+    # insert 200 more (indices 300..500) in two batches
+    for lo, hi in ((300, 400), (400, 500)):
+        grid = knn.insert(grid, TABLE, jnp.asarray(pts[lo:hi]),
+                          jnp.arange(lo, hi, dtype=jnp.int32),
+                          jnp.ones(hi - lo, bool))
+        valid[lo:hi] = True
+    full = knn.build(jnp.asarray(pts), jnp.asarray(valid), cell, TABLE)
+    q = rng.uniform(-0.9, 0.9, size=(64, 3)).astype(np.float32)
+    r = cell / 2
+    D1, I1, n1 = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
+                           r, TABLE)
+    D2, I2, n2 = knn.query(full, jnp.asarray(pts), jnp.asarray(q), 8,
+                           r, TABLE)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D2), rtol=1e-5)
+    assert (np.asarray(n1) == np.asarray(n2)).all()
+    # same index sets among real hits
+    D1, I1 = np.asarray(D1), np.asarray(I1)
+    I2 = np.asarray(I2)
+    for qi in range(64):
+        real = D1[qi] < 1e9
+        assert set(I1[qi][real]) == set(I2[qi][real])

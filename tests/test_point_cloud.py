@@ -7,7 +7,7 @@ from loopy_slam_tpu.mapping.point_cloud import (MapOptions, add_points,
 from loopy_slam_tpu.ops import knn
 
 OPTS = MapOptions(capacity=4096, input_capacity=4096, c_dim=8, N_add=3,
-                  radius_add=0.1, radius_query=0.2, cell_size=0.2,
+                  radius_add=0.1, radius_query=0.2, cell_size=0.4,
                   table_size=2 ** 14, max_per_cell=32)
 
 

@@ -73,7 +73,7 @@ def test_tracking_recovers_perturbed_pose(cfg):
     pert[4:] += np.array([0.02, -0.015, 0.02], np.float32)   # 2 cm offset
     pert[:4] += np.array([0.0, 0.01, -0.01, 0.01], np.float32)
 
-    best, first_loss, best_loss, _ef, _em = tracker_mod.track_frame(
+    best, _c2w44, first_loss, best_loss, _ef, _em = tracker_mod.track_frame(
         params, state.pos, state.grid, state.feat,
         color, depth, jnp.asarray(pert), jax.random.PRNGKey(5),
         topts, ropts_t)
