@@ -147,6 +147,9 @@ DEFAULTS: Dict[str, Any] = {
         "eval_img": False,
     },
     "data": {"dim": 3, "input_folder": "", "output": "output/run"},
+    # multi-chip execution (TPU-native addition): rays data-parallel over a
+    # device mesh with psummed gradients. 0/1 = single device.
+    "parallel": {"n_devices": 0},
     "meshing": {"eval_rec": True, "mesh_freq": -1},
     "pointcloud": {
         "nn_num": 8,

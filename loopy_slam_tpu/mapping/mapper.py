@@ -206,27 +206,17 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
     return loss, (geo_loss, col_loss, jnp.sum(m).astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("opts", "ropts", "pix_per_frame",
-                                   "use_dynamic_radius"),
-         donate_argnames=("trainable", "adam_state"))
-def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
-                 kf_color, kf_depth, kf_c2w, kf_rq, key,
-                 n_geo_iters, n_col_iters, lrs_geo, lrs_col,
-                 opts: MapperOptions, ropts: RenderOptions,
-                 pix_per_frame: int, use_dynamic_radius: bool = False,
-                 kf_exposure=None, ba_row_mask=None, ba_lr=None,
-                 ba_window=None, iter_offset=None):
-    """Run a chunk of the geometry->color mapping optimization.
-
-    trainable: {"dec": decoder params, "feat": (cap, 2c) packed features}
-    adam_state: ops.adam.AdamState over `trainable` (threaded across
-      chunks; the host splits the full iteration budget into chunks so a
-      single XLA program never runs unboundedly long on the device).
-    dec_mask:  0/1 pytree over decoder params (models.trainable_mask)
-    feat_mask: (cap,) bool — frustum-selected rows
-    lrs_geo/lrs_col: (3,) arrays [decoders_lr, geometry_lr, color_lr]
-    Returns (trainable, adam_state, (geo_loss, col_loss, n_rays)).
-    """
+def _optimize_map_impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
+                       grid, kf_color, kf_depth, kf_c2w, kf_rq, key,
+                       n_geo_iters, n_col_iters, lrs_geo, lrs_col,
+                       opts: MapperOptions, ropts: RenderOptions,
+                       pix_per_frame: int, use_dynamic_radius: bool = False,
+                       kf_exposure=None, ba_row_mask=None, ba_lr=None,
+                       ba_window=None, iter_offset=None, psum_axis=None):
+    """Body shared by the single-chip jit (psum_axis=None) and the
+    shard_map'ed multi-chip variant (psum_axis='rays': every device samples
+    its own pix_per_frame rays, gradients/losses are psummed over ICI, and
+    the replicated Adam update is identical on all devices)."""
     if not use_dynamic_radius:
         kf_rq = None
     fm = feat_mask[:, None].astype(jnp.float32)
@@ -250,10 +240,16 @@ def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
         def body(_, carry):
             trainable, st, k, it, _ = carry
             k, kiter = jax.random.split(k)
+            if psum_axis is not None:
+                kiter = jax.random.fold_in(
+                    kiter, jax.lax.axis_index(psum_axis))
             (loss, aux), g = grad_fn(trainable, None, map_pos, grid,
                                      kf_color, kf_depth, kf_c2w, kf_rq,
                                      kiter, stage, opts, ropts,
                                      pix_per_frame, kf_exposure)
+            if psum_axis is not None:
+                g = jax.lax.psum(g, psum_axis)
+                aux = jax.lax.psum(aux, psum_axis)
             g = masked_grads(g)
             c = trainable["feat"].shape[1] // 2
             lr_feat = jnp.concatenate([jnp.full((c,), lrs[1]),
@@ -283,6 +279,23 @@ def optimize_map(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
     carry = phase("color", n_col_iters, lrs_col, carry)
     trainable, adam_state, _, it_out, aux = carry
     return trainable, adam_state, aux
+
+
+optimize_map = partial(jax.jit, static_argnames=(
+    "opts", "ropts", "pix_per_frame", "use_dynamic_radius"),
+    donate_argnames=("trainable", "adam_state"))(_optimize_map_impl)
+optimize_map.__doc__ = """Run a chunk of the geometry->color mapping
+optimization (single device).
+
+trainable: {"dec": decoder params, "feat": (cap, 2c) packed features}
+adam_state: ops.adam.AdamState over `trainable` (threaded across chunks;
+  the host splits the full iteration budget into chunks so a single XLA
+  program never runs unboundedly long on the device).
+dec_mask:  0/1 pytree over decoder params (models.trainable_mask)
+feat_mask: (cap,) bool — frustum-selected rows
+lrs_geo/lrs_col: (3,) arrays [decoders_lr, geometry_lr, color_lr]
+Returns (trainable, adam_state, (geo_loss, col_loss, n_rays)).
+"""
 
 
 # ---------------------------------------------------------------------------

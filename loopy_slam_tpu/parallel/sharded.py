@@ -100,6 +100,44 @@ def make_sharded_train_step(mesh: Mesh, mopts: MapperOptions,
     return jax.jit(_step)
 
 
+def make_sharded_optimize_map(mesh: Mesh, opts: MapperOptions,
+                              ropts: RenderOptions, pix_per_frame: int,
+                              use_dynamic_radius: bool = False):
+    """The FULL staged mapping optimizer (mapper._optimize_map_impl:
+    geometry->color phases, chunked fori_loop, BA/exposure support) run
+    data-parallel over the mesh: every device samples its own
+    pix_per_frame/n rays per keyframe, gradients and loss terms are
+    psummed over ICI inside the loop body, and the replicated Adam update
+    is identical on all devices. Call signature matches
+    mapper.optimize_map (inputs must be replicated on the mesh — see
+    `replicate`).
+
+    This is what slam.map_frame uses when parallel.n_devices > 1.
+    """
+    from ..mapping.mapper import _optimize_map_impl
+
+    n = mesh.devices.size
+    local_pix = max(pix_per_frame // n, 1)
+    impl = partial(_optimize_map_impl, opts=opts, ropts=ropts,
+                   pix_per_frame=local_pix,
+                   use_dynamic_radius=use_dynamic_radius,
+                   psum_axis=AXIS)
+
+    def _wrapped(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
+                 kf_color, kf_depth, kf_c2w, kf_rq, key, n_geo, n_col,
+                 lrs_geo, lrs_col, kf_exposure):
+        return impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
+                    grid, kf_color, kf_depth, kf_c2w, kf_rq, key, n_geo,
+                    n_col, lrs_geo, lrs_col, kf_exposure=kf_exposure)
+
+    from jax.experimental.shard_map import shard_map
+
+    sharded = shard_map(_wrapped, mesh=mesh,
+                        in_specs=(P(),) * 16, out_specs=(P(), P(), P()),
+                        check_rep=False)
+    return jax.jit(sharded, donate_argnames=("trainable", "adam_state"))
+
+
 def make_sharded_render(mesh: Mesh, ropts: RenderOptions):
     """pjit'ed batch renderer with rays sharded over the mesh (used for
     full-image eval renders and the throughput benchmark)."""

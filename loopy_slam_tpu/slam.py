@@ -223,6 +223,18 @@ class LoopySLAM:
         self.lc_enabled = cfg["mapping"]["segment_strategy"] in (
             "rot_trans", "fixed")
 
+        # multi-chip: rays data-parallel over a device mesh (mapping is the
+        # throughput bottleneck; tracking latency gains little from DP at
+        # these batch sizes). Single device -> mesh is None -> plain path.
+        n_dev = int(cfg.get("parallel", {}).get("n_devices", 0))
+        self.mesh = None
+        self._sharded_opt = {}
+        if n_dev > 1 and len(jax.devices()) >= n_dev:
+            from .parallel.sharded import make_mesh
+            self.mesh = make_mesh(n_dev)
+            if self.verbose:
+                print(f"mapping data-parallel over {n_dev} devices")
+
         from .utils.telemetry import WandbLogger
         self.wandb = WandbLogger(cfg, name=os.path.basename(self.output))
 
@@ -805,6 +817,18 @@ class LoopySLAM:
         chunk = int(self.cfg["mapping"].get("device_chunk_iters", 250))
         outer = 5 if color_refine else 1
         adam_init_jit = _adam_init_jit()
+        # BA trains window poses with an iteration-window LR schedule that
+        # needs iter_offset threading; keep it on the single-device path
+        use_mesh = self.mesh is not None and not ba_active
+        sharded_opt = None
+        if use_mesh:
+            from .parallel.sharded import make_sharded_optimize_map, replicate
+            skey = (pix_per_frame, self.use_dynamic_radius)
+            if skey not in self._sharded_opt:
+                self._sharded_opt[skey] = make_sharded_optimize_map(
+                    self.mesh, self.mopts, self.ropts_mapper, pix_per_frame,
+                    self.use_dynamic_radius)
+            sharded_opt = self._sharded_opt[skey]
         for _ in range(outer):
             st = adam_init_jit(trainable)
             done_geo, done_col = 0, 0
@@ -812,16 +836,25 @@ class LoopySLAM:
                 g = min(chunk, n_geo - done_geo)
                 c = min(chunk - g, n_col - done_col)
                 km = self._next_key()
-                trainable, st, aux = mapper_mod.optimize_map(
-                    trainable, st, dec_mask, feat_mask, self.map_state.pos,
-                    self.map_state.grid, kc, kd, kp, krq, km,
-                    self._dev(g, np.int32), self._dev(c, np.int32),
-                    lrs_geo, lrs_col,
-                    self.mopts, self.ropts_mapper, pix_per_frame,
-                    self.use_dynamic_radius, kf_exposure,
-                    ba_row_mask=ba_row_mask, ba_lr=ba_lr,
-                    ba_window=ba_window,
-                    iter_offset=self._dev(done_geo + done_col, np.int32))
+                if use_mesh:
+                    args = replicate(self.mesh, (
+                        trainable, st, dec_mask, feat_mask,
+                        self.map_state.pos, self.map_state.grid, kc, kd, kp,
+                        krq, km, self._dev(g, np.int32),
+                        self._dev(c, np.int32), lrs_geo, lrs_col,
+                        kf_exposure))
+                    trainable, st, aux = sharded_opt(*args)
+                else:
+                    trainable, st, aux = mapper_mod.optimize_map(
+                        trainable, st, dec_mask, feat_mask,
+                        self.map_state.pos, self.map_state.grid, kc, kd, kp,
+                        krq, km, self._dev(g, np.int32),
+                        self._dev(c, np.int32), lrs_geo, lrs_col,
+                        self.mopts, self.ropts_mapper, pix_per_frame,
+                        self.use_dynamic_radius, kf_exposure,
+                        ba_row_mask=ba_row_mask, ba_lr=ba_lr,
+                        ba_window=ba_window,
+                        iter_offset=self._dev(done_geo + done_col, np.int32))
                 done_geo += g
                 done_col += c
         if self.encode_exposure:

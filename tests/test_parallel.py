@@ -52,3 +52,23 @@ def test_sharded_train_step_matches_semantics():
     # frozen color positional embedder must not move
     np.testing.assert_array_equal(np.asarray(out["dec"]["col"]["B"]),
                                   np.asarray(params["col"]["B"]))
+
+
+def test_slam_runs_with_mesh(tmp_path):
+    """End-to-end: LoopySLAM with parallel.n_devices=8 maps over the
+    virtual mesh (the wired make_sharded_optimize_map path) and produces a
+    sane trajectory."""
+    from conftest import small_cfg
+    from loopy_slam_tpu.slam import LoopySLAM
+    from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
+
+    cfg = small_cfg()
+    cfg["parallel"]["n_devices"] = 8
+    cfg["data"]["n_frames"] = 7
+    cfg["data"]["output"] = str(tmp_path / "mesh_run")
+    cfg["mapping"]["color_refine"] = False
+    slam = LoopySLAM(cfg, output=cfg["data"]["output"])
+    assert slam.mesh is not None
+    res = slam.run(stop=6)
+    stats = evaluate_trajectories(res["estimate_c2w"], res["gt_c2w"])
+    assert np.isfinite(stats["rmse"]) and stats["rmse"] < 0.2
