@@ -172,10 +172,10 @@ DEFAULTS: Dict[str, Any] = {
         # TPU-native additions (static-shape capacity planning):
         "capacity": 2 ** 19,          # max points in the global buffer
         "cell_table_size": 2 ** 17,   # spatial-hash table size
-        "max_per_cell": 64,           # candidate slots per hash-cell row.
+        "max_per_cell": 16,           # candidate slots per hash-cell row.
                                       # A planar patch holds up to
-                                      # (cell/radius_add)^2 * N_add = 48
-                                      # points at defaults; 64 gives margin
+                                      # (cell/radius_add)^2 * N_add = 12
+                                      # points at defaults; 16 gives margin
                                       # (overflow silently drops neighbors)
     },
 }

@@ -40,25 +40,24 @@ class MapOptions(NamedTuple):
     near_end_surface: float = 0.98
     far_end_surface: float = 1.02
     fix_interval_when_add_along_ray: bool = False
-    cell_size: float = 0.16
+    cell_size: float = 0.08
     table_size: int = 2 ** 17
-    max_per_cell: int = 32
+    max_per_cell: int = 16
 
     @staticmethod
     def from_cfg(cfg):
         pc = cfg["pointcloud"]
-        # Cell edge must be >= 2x the largest query radius so the 2x2x2
-        # stencil covers the radius ball exactly (dynamic radius can reach
+        # Cell edge must cover the largest query radius so the 3x3x3
+        # stencil is exact (dynamic radius can reach
         # radius_query_ratio * radius_add_max).
         if cfg["use_dynamic_radius"]:
-            cell = 2.0 * float(pc["radius_query_ratio"] * pc["radius_add_max"])
-            # bigger cells hold more points: scale slot capacity with the
-            # cell volume over the insertion min-spacing so rows don't
-            # overflow (overflow silently drops neighbors; grid.n_dropped
-            # counts them)
-            mpc = max(int(pc["max_per_cell"]), 128)
+            cell = float(pc["radius_query_ratio"] * pc["radius_add_max"])
+            # bigger cells hold more points: scale slot capacity so rows
+            # don't overflow (overflow silently drops neighbors;
+            # grid.n_dropped counts them)
+            mpc = max(int(pc["max_per_cell"]), 64)
         else:
-            cell = 2.0 * float(pc["radius_query"])
+            cell = float(pc["radius_query"])
             mpc = int(pc["max_per_cell"])
         return MapOptions(
             capacity=int(pc["capacity"]),

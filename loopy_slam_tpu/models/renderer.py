@@ -49,7 +49,7 @@ class RenderOptions(NamedTuple):
     min_nn_num: int = 2
     radius_query: float = 0.08
     table_size: int = 2 ** 17
-    max_per_cell: int = 32
+    max_per_cell: int = 16
     weighting: str = "distance"
     c_dim: int = 32
     encode_rel_pos_in_col: bool = True
@@ -74,7 +74,7 @@ class RenderOptions(NamedTuple):
             # mirror MapOptions.from_cfg: dynamic radius widens cells, so
             # slot capacity scales up (the grid's build-time value is
             # authoritative at query; this keeps the configs in agreement)
-            max_per_cell=(max(cfg["pointcloud"]["max_per_cell"], 128)
+            max_per_cell=(max(cfg["pointcloud"]["max_per_cell"], 64)
                           if cfg["use_dynamic_radius"]
                           else cfg["pointcloud"]["max_per_cell"]),
             weighting=cfg["pointcloud"]["nn_weighting"],

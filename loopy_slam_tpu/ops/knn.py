@@ -3,18 +3,20 @@
 TPU-native replacement for the reference's faiss-gpu IVFFlat index
 (reference src/neural_point.py:67-71,1659-1708): instead of IVF clustering
 (train/add/search with nprobe=4, approximate), points are hashed into a
-spatial grid of cell edge >= TWICE the largest query radius. A query
-inspects the 2x2x2 block of cells starting at floor((q - r) / cell) —
-which covers the radius-r ball exactly when r <= cell/2 — and takes the k
-nearest candidates. Exact within the radius, fully jittable, static
-shapes.
+spatial grid of cell edge >= the largest query radius. A query inspects
+the 3x3x3 block of cells around its own — which covers the radius-r ball
+exactly when r <= cell — and takes the k nearest candidates. Exact within
+the radius, fully jittable, static shapes.
 
 Performance-critical layout (measured on a v5e):
   * XLA gather cost on TPU is per-ROW, so the index is ONE WIDE ROW PER
     CELL: cell_data[h] holds the cell's up-to-M candidates packed as
-    (x, y, z, bitcast(point_index)). With M = 32 a row is exactly 128
-    f32 lanes — the native register width — and a 25k-query batch costs
-    200k row-gathers (the 27-cell/radius-sized-cell variant cost 675k).
+    (x, y, z, bitcast(point_index)); a 25k-query batch costs 675k
+    row-gathers (~1.3 ms from a 2^17-row table). A 2x2x2 stencil with
+    2x cells was tried: fewer/wider rows gather no faster per byte, and
+    matching per-volume slot capacity needs M=64 (4x the row bytes) —
+    planar regions at default insertion spacing overflowed M=32 and the
+    silent neighbor drops cost ~3 cm of ATE.
   * Candidate selection (squared distances + top-k) runs in a Pallas
     kernel on the gathered rows. Distances over the packed (x,y,z,idx)
     lane groups and an unrolled k-pass argmin stay VMEM-local in the
@@ -47,9 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 # Large primes for 3-D spatial hashing (Teschner et al. 2003).
 _P1, _P2, _P3 = np.int32(73856093), np.int32(19349669), np.int32(83492791)
 
-# 2x2x2 neighbor-cell offsets from the stencil base cell, static.
-_OFFSETS8 = np.array(
-    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+# 3x3x3 neighbor-cell offsets, static.
+_OFFSETS27 = np.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)],
     dtype=np.int32,
 )
 
@@ -64,7 +67,7 @@ class HashGrid(NamedTuple):
       (x, y, z, bitcast int32 point-buffer index); empty slots are
       (1e9, 1e9, 1e9, bitcast tag). Row table_size is the always-empty
       overflow row; duplicate stencil probes are redirected to it.
-    cell_size: () float32 — cell edge, >= 2 * max query radius.
+    cell_size: () float32 — cell edge, >= the max query radius.
     n_dropped: () int32 — points not indexed because their (possibly
       hash-merged) cell row overflowed max_per_cell. Diagnostic.
     """
@@ -88,7 +91,7 @@ def _cell_of(points: jnp.ndarray, cell_size) -> jnp.ndarray:
 
 
 def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
-          table_size: int, max_per_cell: int = 32) -> HashGrid:
+          table_size: int, max_per_cell: int = 16) -> HashGrid:
     """Build (or rebuild) the index. O(N log N) sort + scatter, jittable.
 
     Replaces faiss index train/add (reference neural_point.py:1623-1627);
@@ -258,13 +261,12 @@ def _select_topk(rows: jnp.ndarray, q4: jnp.ndarray, k: int,
 
 
 def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
-          k: int, radius, table_size: int, max_per_cell: int = 32,
+          k: int, radius, table_size: int, max_per_cell: int = 16,
           return_pos: bool = False):
-    """k nearest neighbors of each query within the 2x2x2 cell stencil.
+    """k nearest neighbors of each query within the 3x3x3 cell stencil.
 
-    Exact within `radius` provided radius <= grid.cell_size / 2 (the
-    stencil base cell is floor((q - radius) / cell), so the radius ball is
-    covered by the 8 probed cells).
+    Exact within `radius` provided radius <= grid.cell_size (the radius
+    ball around q is covered by the 27 cells surrounding q's own).
 
     Args:
       grid: HashGrid over `points`.
@@ -272,8 +274,7 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
         from the packed rows).
       queries: (Q, 3).
       k: neighbors returned (pointcloud.nn_num = 8).
-      radius: scalar or (Q,) — neighbor_num counting radius AND the
-        stencil placement radius.
+      radius: scalar or (Q,) — the radius used for neighbor_num counting.
       table_size: static hash table size (power of two).
       max_per_cell: static candidate slots per cell row (build-time value
         wins; kept for API parity).
@@ -285,12 +286,12 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
       [pos: (Q, k, 3) neighbor positions, if return_pos]
     """
     M = grid.cell_data.shape[1]  # authoritative (build-time) slot count
+    S = _OFFSETS27.shape[0]
     Q = queries.shape[0]
     r = jnp.asarray(radius, jnp.float32)
-    r_col = r[:, None] if r.ndim == 1 else r
-    base = jnp.floor((queries - r_col) / grid.cell_size).astype(jnp.int32)
-    cells = base[:, None, :] + jnp.asarray(_OFFSETS8)[None, :, :]  # (Q,8,3)
-    h = _hash_cells(cells, table_size)  # (Q, 8)
+    base = _cell_of(queries, grid.cell_size)
+    cells = base[:, None, :] + jnp.asarray(_OFFSETS27)[None, :, :]  # (Q,S,3)
+    h = _hash_cells(cells, table_size)  # (Q, S)
 
     # Redirect duplicate stencil probes (hash collisions within the
     # stencil) to the always-empty overflow row — otherwise the same row
@@ -299,7 +300,7 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
     h = jnp.where(dup, table_size, h)
 
     rows = jnp.take(grid.cell_data.reshape(table_size + 1, M * 4),
-                    h.reshape(-1), axis=0).reshape(Q, 8 * M * 4)
+                    h.reshape(-1), axis=0).reshape(Q, S * M * 4)
     q4 = jnp.pad(queries, ((0, 0), (0, 1)))
     packed = _select_topk(rows, q4, k)
 
