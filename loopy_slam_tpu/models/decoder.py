@@ -169,13 +169,18 @@ def trainable_mask(params: Dict[str, Any], cfg: Dict[str, Any]):
 # ---------------------------------------------------------------------------
 
 def fourier_embed(p, B, concat_cos: bool):
-    # highest precision: at scale 25-32 the phase 2*pi*p@B reaches hundreds
-    # of radians; TPU bf16 matmul passes would corrupt it by ~1 rad
-    x = jnp.matmul(2.0 * jnp.pi * p, B, precision="highest")
+    # The phase 2*pi*p@B reaches hundreds of radians at scale 25-32, so the
+    # TPU's default bf16 matmul passes would corrupt it by ~1 rad. Instead
+    # of precision="highest" (6-pass MXU, measured 20x slower than default
+    # for this K=3 contraction), compute the contraction as an exact-f32
+    # broadcast multiply-sum on the VPU — K=3 is not matmul material.
+    x = jnp.sum((2.0 * jnp.pi) * p[..., :, None] * B, axis=-2)
     return jnp.concatenate([jnp.sin(x), jnp.cos(x)], -1) if concat_cos else jnp.sin(x)
 
 
 def _trunk(layers, fc_c, out, emb, c, act):
+    """Plain-XLA trunk (kept as the reference implementation for parity
+    tests; the hot path goes through ops.fused_mlp.trunk_apply)."""
     h = emb
     for i in range(N_BLOCKS):
         h = act(h @ layers[i]["w"] + layers[i]["b"])
@@ -187,8 +192,11 @@ def _trunk(layers, fc_c, out, emb, c, act):
 
 def geo_forward(geo, p, c):
     """(N,3),(N,32) -> occupancy logits (N,). ReLU trunk (decoder.py:275-288)."""
+    from ..ops.fused_mlp import trunk_apply
+
     emb = fourier_embed(p, geo["B"], concat_cos=False)
-    return _trunk(geo["lin"], geo["fc_c"], geo["out"], emb, c, jax.nn.relu)[..., 0]
+    w = {"lin": geo["lin"], "fc_c": geo["fc_c"], "out": geo["out"]}
+    return trunk_apply(emb, c, w, "relu")[..., 0]
 
 
 def col_forward(col, p, c, views_d=None, use_view_direction=False,
@@ -197,20 +205,25 @@ def col_forward(col, p, c, views_d=None, use_view_direction=False,
 
     Softplus(100) trunk (decoder.py:523-533).
     """
+    from ..ops.fused_mlp import trunk_apply
+
     emb = fourier_embed(p, col["B"], concat_cos=True)
     if use_view_direction:
         v = views_d / (jnp.linalg.norm(views_d, axis=-1, keepdims=True) + 1e-12)
         vemb = fourier_embed(v, col["B_view"], True) if encode_viewd else v
         emb = jnp.concatenate([emb, vemb], axis=-1)
-    return _trunk(col["lin"], col["fc_c"], col["out"], emb, c, softplus100)
+    w = {"lin": col["lin"], "fc_c": col["fc_c"], "out": col["out"]}
+    return trunk_apply(emb, c, w, "softplus100")
 
 
 def neighbor_transform(col, feats, rel_pos):
     """Rel-pos-conditioned neighbor features (N,k,32) (decoder.py:477-485)."""
+    from ..ops.fused_mlp import mlp2_apply
+
     emb = fourier_embed(rel_pos, col["B_rel"], concat_cos=True)  # (N,k,20)
     x = jnp.concatenate([emb, feats], axis=-1)
-    h = softplus100(x @ col["neigh"]["w1"] + col["neigh"]["b1"])
-    return h @ col["neigh"]["w2"] + col["neigh"]["b2"]
+    return mlp2_apply(x, col["neigh"]["w1"], col["neigh"]["b1"],
+                      col["neigh"]["w2"], col["neigh"]["b2"], "softplus100")
 
 
 def exposure_affine(col, exposure_feat):

@@ -132,15 +132,60 @@ def main():
         q = q + carry * 1e-9
         M = grid.cell_data.shape[1]
         qc = jnp.floor(q / grid.cell_size).astype(jnp.int32)
-        cells = qc[:, None, :] + jnp.asarray(knn._OFFSETS)[None, :, :]
+        cells = qc[:, None, :] + jnp.asarray(knn._OFFSETS27)[None, :, :]
         h = knn._hash_cells(cells, mopts.table_size)
-        rows = jnp.take(grid.cell_data.reshape(mopts.table_size, M * 4),
+        rows = jnp.take(grid.cell_data.reshape(mopts.table_size + 1, M * 4),
                         h.reshape(-1), axis=0).reshape(Q, 27, M, 4)
         diff = rows[..., :3] - q[:, None, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         return jnp.sum(jnp.min(d2, axis=(1, 2))) * 1e-12 + carry * 1.000001
 
     chain_time("query: gather+d2+min (no topk)", f_query_nok, x0,
+               (grid, qbase), rtt)
+
+    # gather-only: the stencil row fetch with nothing after it
+    @jax.jit
+    def f_gather_only(carry, grid, q):
+        q = q + carry * 1e-9
+        M = grid.cell_data.shape[1]
+        qc = jnp.floor(q / grid.cell_size).astype(jnp.int32)
+        cells = qc[:, None, :] + jnp.asarray(knn._OFFSETS27)[None, :, :]
+        h = knn._hash_cells(cells, mopts.table_size)
+        rows = jnp.take(grid.cell_data.reshape(mopts.table_size + 1, M * 4),
+                        h.reshape(-1), axis=0)
+        return jnp.sum(rows) * 1e-20 + carry * 1.000001
+
+    chain_time("query: hash+gather only", f_gather_only, x0,
+               (grid, qbase), rtt)
+
+    # select-kernel-only: feed pre-gathered rows straight to _select_topk
+    M = grid.cell_data.shape[1]
+    qc = jnp.floor(qbase / grid.cell_size).astype(jnp.int32)
+    cells = qc[:, None, :] + jnp.asarray(knn._OFFSETS27)[None, :, :]
+    h = knn._hash_cells(cells, mopts.table_size)
+    rows_pre = jnp.take(grid.cell_data.reshape(mopts.table_size + 1, M * 4),
+                        h.reshape(-1), axis=0).reshape(Q, 27 * M * 4)
+    q4 = jnp.pad(qbase, ((0, 0), (0, 1)))
+
+    @jax.jit
+    def f_kernel_only(carry, rows_pre, q4):
+        packed = knn._select_topk(rows_pre + carry * 1e-9, q4, 8)
+        return jnp.sum(packed) * 1e-20 + carry * 1.000001
+
+    chain_time("query: select kernel only", f_kernel_only, x0,
+               (rows_pre, q4), rtt)
+
+    # dup-mask cost: the tril pairwise hash compare
+    @jax.jit
+    def f_dupmask(carry, grid, q):
+        q = q + carry * 1e-9
+        qc = jnp.floor(q / grid.cell_size).astype(jnp.int32)
+        cells = qc[:, None, :] + jnp.asarray(knn._OFFSETS27)[None, :, :]
+        h = knn._hash_cells(cells, mopts.table_size)
+        dup = jnp.tril(h[:, :, None] == h[:, None, :], k=-1).any(axis=-1)
+        return jnp.sum(dup) * 1e-12 + carry * 1.000001
+
+    chain_time("query: hash+dupmask only", f_dupmask, x0,
                (grid, qbase), rtt)
 
     # geo MLP alone
@@ -172,6 +217,61 @@ def main():
 
     chain_time("neighbor_transform fwd 25k x8", f_nt, x0,
                (params, nf, rel), rtt)
+
+    # fwd+bwd variants (grads to params + inputs, like the mapper)
+    @jax.jit
+    def f_geo_bwd(carry, params, q, c):
+        def loss(p, cc):
+            return jnp.sum(geo_forward(p["geo"], q + carry * 1e-9, cc))
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(params, c)
+        return (jax.tree.leaves(g1)[0].ravel()[0] * 1e-12
+                + jnp.sum(g2) * 1e-12 + carry * 1.000001)
+
+    chain_time("geo MLP fwd+bwd 25k", f_geo_bwd, x0,
+               (params, qbase, c_geo), rtt)
+
+    @jax.jit
+    def f_col_bwd(carry, params, q, c):
+        def loss(p, cc):
+            return jnp.sum(col_forward(p["col"], q + carry * 1e-9, cc))
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(params, c)
+        return (jax.tree.leaves(g1)[0].ravel()[0] * 1e-12
+                + jnp.sum(g2) * 1e-12 + carry * 1.000001)
+
+    chain_time("color MLP fwd+bwd 25k", f_col_bwd, x0,
+               (params, qbase, c_geo), rtt)
+
+    @jax.jit
+    def f_nt_bwd(carry, params, nf, rel):
+        def loss(p, f):
+            return jnp.sum(neighbor_transform(p["col"], f + carry * 1e-9,
+                                              rel))
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(params, nf)
+        return (jax.tree.leaves(g1)[0].ravel()[0] * 1e-12
+                + jnp.sum(g2) * 1e-12 + carry * 1.000001)
+
+    chain_time("neighbor_transform fwd+bwd", f_nt_bwd, x0,
+               (params, nf, rel), rtt)
+
+    # feature gather + scatter-add backward (the feats[I] VJP)
+    I_idx = jax.random.randint(key, (Q, 8), 0, NPTS)
+    gg = jax.random.normal(key, (Q, 8, 64)) * 0.1
+
+    @jax.jit
+    def f_gather_feat(carry, feats, I_idx):
+        g = feats[I_idx] + carry * 1e-9
+        return jnp.sum(g) * 1e-12 + carry * 1.000001
+
+    chain_time("feats[I] gather (Q,8,64)", f_gather_feat, x0,
+               (feats, I_idx), rtt)
+
+    @jax.jit
+    def f_scatter(carry, I_idx, gg):
+        out = jnp.zeros((CAP, 64)).at[I_idx].add(gg + carry * 1e-9)
+        return jnp.sum(out) * 1e-12 + carry * 1.000001
+
+    chain_time("scatter-add (Q,8,64)->cap", f_scatter, x0,
+               (I_idx, gg), rtt)
 
     # ---- ground-truth optimize_map per-iteration (chained) ----
     from loopy_slam_tpu.mapping import mapper as mapper_mod
