@@ -191,12 +191,15 @@ def _trunk(layers, fc_c, out, emb, c, act):
 
 
 def geo_forward(geo, p, c):
-    """(N,3),(N,32) -> occupancy logits (N,). ReLU trunk (decoder.py:275-288)."""
-    from ..ops.fused_mlp import trunk_apply
+    """(N,3),(N,32) -> occupancy logits (N,). ReLU trunk (decoder.py:275-288).
 
+    Stays on the plain-XLA trunk: a hand-fused Pallas kernel
+    (ops/fused_mlp.py) was measured SLOWER (1.3 vs 0.2 ms fwd at N=25k on
+    a v5e) — XLA's own fusion already keeps these narrow trunks
+    MXU-resident, while an in-kernel layer chain serializes.
+    """
     emb = fourier_embed(p, geo["B"], concat_cos=False)
-    w = {"lin": geo["lin"], "fc_c": geo["fc_c"], "out": geo["out"]}
-    return trunk_apply(emb, c, w, "relu")[..., 0]
+    return _trunk(geo["lin"], geo["fc_c"], geo["out"], emb, c, jax.nn.relu)[..., 0]
 
 
 def col_forward(col, p, c, views_d=None, use_view_direction=False,
@@ -205,25 +208,20 @@ def col_forward(col, p, c, views_d=None, use_view_direction=False,
 
     Softplus(100) trunk (decoder.py:523-533).
     """
-    from ..ops.fused_mlp import trunk_apply
-
     emb = fourier_embed(p, col["B"], concat_cos=True)
     if use_view_direction:
         v = views_d / (jnp.linalg.norm(views_d, axis=-1, keepdims=True) + 1e-12)
         vemb = fourier_embed(v, col["B_view"], True) if encode_viewd else v
         emb = jnp.concatenate([emb, vemb], axis=-1)
-    w = {"lin": col["lin"], "fc_c": col["fc_c"], "out": col["out"]}
-    return trunk_apply(emb, c, w, "softplus100")
+    return _trunk(col["lin"], col["fc_c"], col["out"], emb, c, softplus100)
 
 
 def neighbor_transform(col, feats, rel_pos):
     """Rel-pos-conditioned neighbor features (N,k,32) (decoder.py:477-485)."""
-    from ..ops.fused_mlp import mlp2_apply
-
     emb = fourier_embed(rel_pos, col["B_rel"], concat_cos=True)  # (N,k,20)
     x = jnp.concatenate([emb, feats], axis=-1)
-    return mlp2_apply(x, col["neigh"]["w1"], col["neigh"]["b1"],
-                      col["neigh"]["w2"], col["neigh"]["b2"], "softplus100")
+    h = softplus100(x @ col["neigh"]["w1"] + col["neigh"]["b1"])
+    return h @ col["neigh"]["w2"] + col["neigh"]["b2"]
 
 
 def exposure_affine(col, exposure_feat):

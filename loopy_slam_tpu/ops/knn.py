@@ -18,11 +18,13 @@ Performance-critical layout (measured on a v5e):
     planar regions at default insertion spacing overflowed M=32 and the
     silent neighbor drops cost ~3 cm of ATE.
   * Candidate selection (squared distances + top-k) runs in a Pallas
-    kernel on the gathered rows. Distances over the packed (x,y,z,idx)
-    lane groups and an unrolled k-pass argmin stay VMEM-local in the
-    native 128-lane layout; expressing the same in XLA materializes
-    (Q, 27, M, 4)-shaped HBM intermediates whose 4-wide minor dimension
-    runs the VPU at 1/32 utilization (~7 ms of a 14 ms query).
+    kernel on the gathered rows, with distance and candidate id packed
+    into one sortable int32 key so each of the k passes is ~5 full-width
+    VPU scans (see _select_kernel). Expressing the same in XLA
+    materializes (Q, 27, M, 4)-shaped HBM intermediates whose 4-wide
+    minor dimension runs the VPU at 1/32 utilization (~7 ms of a 14 ms
+    query). Winner positions are NOT extracted in-kernel: callers gather
+    them by index, and the renderer folds that into its feature gather.
   * Empty slots hold positions of 1e9 so validity falls out of the
     distance test; hash collisions merge cells' candidate rows (the
     distance test filters false candidates); true neighbors are lost only
@@ -187,17 +189,30 @@ def insert(grid: HashGrid, table_size: int, new_points: jnp.ndarray,
 def _select_kernel(rows_ref, q_ref, out_ref, *, k: int):
     """Top-k nearest among a query's gathered candidates, VMEM-local.
 
-    rows_ref: (B, C) f32 — 8 stencil rows concatenated, C = 8*M*4 lanes in
+    rows_ref: (B, C) f32 — stencil rows concatenated, C = S*M*4 lanes in
       (x, y, z, idxbits) groups of 4.
     q_ref: (B, 4) f32 — query xyz (lane 3 unused).
-    out_ref: (B, 5*k_pad) f32 — packed [D | idxbits | x | y | z], each a
-      k_pad-lane group (k_pad = k rounded up to 8 for sublane alignment).
+    out_ref: (B, 2*k_pad) f32 — packed [D | idxbits], each a k_pad-lane
+      group (k_pad = k rounded up to 8 for sublane alignment).
+
+    The candidate distance and its group id are packed into ONE sortable
+    int32 key: (bits(d2) & ~2047) | (lane >> 2) — d2 >= 0, so integer
+    ordering equals float ordering, the low 11 bits hold the candidate id
+    (ties break toward the lower id), and each of the k selection passes
+    needs only a min-reduce, one group-id compare, one masked extraction
+    and the key update — ~5 full-width scans instead of the ~14 of the
+    earlier min+first-lane+5-field-extraction formulation (measured 4.2 ->
+    ~1.8 ms at Q=25k, C=2592 on a v5e). D is returned with its 11 low
+    mantissa bits cleared (relative error <= 2^-12, rounds down); winner
+    positions are NOT extracted — the caller gathers them by index, which
+    the renderer folds into the feature gather it does anyway.
     """
     rows = rows_ref[:]
     B, C = rows.shape
-    k_pad = out_ref.shape[1] // 5
+    k_pad = out_ref.shape[1] // 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     mod4 = lane & 3
+    gid = jax.lax.shift_right_logical(lane, 2)
     qx = q_ref[:, 0:1]
     qy = q_ref[:, 1:2]
     qz = q_ref[:, 2:3]
@@ -210,32 +225,39 @@ def _select_kernel(rows_ref, q_ref, out_ref, *, k: int):
     # never wrap across a group because base lanes end at C-4. pltpu.roll
     # requires non-negative shifts: roll by C-s == roll by -s (circular).
     d2 = (d2l + pltpu.roll(d2l, C - 1, 1) + pltpu.roll(d2l, C - 2, 1))
-    big = jnp.float32(3.9e18)  # > 3*(1e9+..)^2, far below f32 inf
-    cand = jnp.where(mod4 == 0, d2, big)
-    idx_lane = pltpu.roll(rows, C - 3, 1)  # idxbits aligned to group base
+    bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    bigk = jnp.int32(2 ** 31 - 1)
+    key = jnp.where(mod4 == 0,
+                    (bits & jnp.int32(~2047)) | gid, bigk)
+    idx_contrib = jnp.where(mod4 == 3, rows, 0.0)  # idxbits, lane l+3
 
     for kk in range(k):
-        m = jnp.min(cand, axis=1, keepdims=True)  # (B, 1) min distance
-        # first lane achieving the min (strict: ties pick one winner)
-        l = jnp.min(jnp.where(cand == m, lane, C), axis=1, keepdims=True)
-        oh = lane == l
-        out_ref[:, kk] = m[:, 0]
-        out_ref[:, k_pad + kk] = jnp.sum(jnp.where(oh, idx_lane, 0.0),
-                                         axis=1)
-        out_ref[:, 2 * k_pad + kk] = jnp.sum(jnp.where(oh, rows, 0.0),
-                                             axis=1)
-        out_ref[:, 3 * k_pad + kk] = jnp.sum(
-            jnp.where(lane == l + 1, rows, 0.0), axis=1)
-        out_ref[:, 4 * k_pad + kk] = jnp.sum(
-            jnp.where(lane == l + 2, rows, 0.0), axis=1)
-        cand = jnp.where(oh, big, cand)
+        mk = jnp.min(key, axis=1, keepdims=True)   # (B, 1) packed winner
+        cid = mk & 2047
+        eqg = gid == cid                            # winner's 4-lane group
+        out_ref[:, kk] = jax.lax.bitcast_convert_type(
+            mk & jnp.int32(~2047), jnp.float32)[:, 0]
+        out_ref[:, k_pad + kk] = jnp.sum(
+            jnp.where(eqg, idx_contrib, 0.0), axis=1)
+        key = jnp.where(eqg, bigk, key)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block"))
 def _select_topk(rows: jnp.ndarray, q4: jnp.ndarray, k: int,
-                 block: int = 256):
-    """rows (Q, C), q4 (Q, 4) -> packed (Q, 5*k_pad) selection output."""
+                 block: int = 0):
+    """rows (Q, C), q4 (Q, 4) -> packed (Q, 2*k_pad) selection output."""
     Q, C = rows.shape
+    # the packed key holds the candidate id in 11 bits, and id 2047 is
+    # reserved as the exhausted marker
+    assert C <= 8188, "candidate row too wide for 11-bit packed ids"
+    if block == 0:
+        # scoped VMEM is 16 MB and the kernel keeps ~5 (block, C) f32
+        # temps live (rows, d2 terms, key, idx_contrib + double buffering):
+        # wide candidate rows (dynamic-radius configs reach C = 27*64*4)
+        # must shrink the row block or Mosaic OOMs its VMEM stack.
+        block = 256
+        while block > 8 and block * C * 4 * 5 > 12 * 2 ** 20:
+            block //= 2
     k_pad = -(-k // 8) * 8
     Qp = -(-Q // block) * block
     if Qp != Q:
@@ -245,7 +267,7 @@ def _select_topk(rows: jnp.ndarray, q4: jnp.ndarray, k: int,
     interpret = jax.devices()[0].platform == "cpu"
     out = pl.pallas_call(
         functools.partial(_select_kernel, k=k),
-        out_shape=jax.ShapeDtypeStruct((Qp, 5 * k_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Qp, 2 * k_pad), jnp.float32),
         grid=(Qp // block,),
         in_specs=[
             pl.BlockSpec((block, C), lambda i: (i, 0),
@@ -253,7 +275,7 @@ def _select_topk(rows: jnp.ndarray, q4: jnp.ndarray, k: int,
             pl.BlockSpec((block, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block, 5 * k_pad), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block, 2 * k_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rows, q4)
@@ -280,10 +302,15 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
         wins; kept for API parity).
 
     Returns:
-      D: (Q, k) squared distances, ascending; empty slots hold >= 1e10.
+      D: (Q, k) squared distances, ascending, with the 11 low mantissa
+        bits cleared (<= 2^-12 relative, rounded down — consumers either
+        threshold D or recompute it exactly from gathered neighbor
+        positions); empty slots hold 1e10.
       I: (Q, k) int32 indices into the point buffer (0 where empty).
       neighbor_num: (Q,) int32 count of D < radius**2.
-      [pos: (Q, k, 3) neighbor positions, if return_pos]
+      [pos: (Q, k, 3) neighbor positions gathered as points[I], if
+       return_pos — hot callers should fold this gather into their own
+       feature gather instead (see renderer.eval_points)]
     """
     M = grid.cell_data.shape[1]  # authoritative (build-time) slot count
     S = _OFFSETS27.shape[0]
@@ -308,16 +335,16 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
     D = packed[:, :k]
     idx_f = packed[:, k_pad:k_pad + k]
     I = jax.lax.bitcast_convert_type(idx_f, jnp.int32) & (_IDX_TAG - 1)
-    valid_hit = D < 1e10  # empty slots sit at >= (1e9)^2-ish distances
+    # empty slots sit at >= (1e9)^2-ish distances; an exhausted candidate
+    # list yields bit pattern 0x7FFFF800 (NaN), which also fails this test
+    valid_hit = D < 1e10
     I = jnp.where(valid_hit, I, 0)
     D = jnp.where(valid_hit, D, 1e10)
 
     r2 = (r**2)[..., None] if r.ndim == 1 else r**2
     neighbor_num = jnp.sum(D < r2, axis=-1).astype(jnp.int32)
     if return_pos:
-        pos = jnp.stack([packed[:, 2 * k_pad:2 * k_pad + k],
-                         packed[:, 3 * k_pad:3 * k_pad + k],
-                         packed[:, 4 * k_pad:4 * k_pad + k]], axis=-1)
+        pos = jnp.take(points, I.reshape(-1), axis=0).reshape(Q, k, 3)
         pos = jnp.where(valid_hit[..., None], pos, _FAR)
         return D, I, neighbor_num, pos
     return D, I, neighbor_num

@@ -32,7 +32,8 @@ def test_knn_matches_brute_force(rng):
         exact_in = np.sort(Db[qi][Db[qi] < r2])
         ours_in = np.sort(D[qi][D[qi] < r2])
         assert len(ours_in) == len(exact_in) == nn[qi]
-        np.testing.assert_allclose(ours_in, exact_in, rtol=1e-5)
+        # kernel D clears 11 low mantissa bits (<= 2^-12 relative)
+        np.testing.assert_allclose(ours_in, exact_in, rtol=3e-4)
 
 
 def test_knn_distances_sorted_and_indices_consistent(rng):
@@ -47,7 +48,9 @@ def test_knn_distances_sorted_and_indices_consistent(rng):
         for k in range(8):
             if D[qi, k] < 1e9:
                 d2 = np.sum((pts[I[qi, k]] - q[qi]) ** 2)
-                np.testing.assert_allclose(D[qi, k], d2, rtol=1e-4)
+                # quantized-down D: within 2^-12 relative, never above
+                np.testing.assert_allclose(D[qi, k], d2, rtol=3e-4)
+                assert D[qi, k] <= d2 * (1 + 1e-6)
 
 
 def test_knn_no_duplicate_neighbors(rng):
