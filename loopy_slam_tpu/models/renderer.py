@@ -86,6 +86,36 @@ class RenderOptions(NamedTuple):
         )
 
 
+@jax.custom_vjp
+def gather_featpos(feats, map_pos, I):
+    """take(concat([feats, map_pos], 1), I.flat) -> (N, k, 2c+3).
+
+    Custom VJP so the backward pass scatter-adds ONLY the feature lanes:
+    positions are non-differentiable here (the decode path stop-gradients
+    them), and autodiff of the concat+gather would otherwise scatter
+    2c+3-wide rows and then slice, paying ~5% extra on the hot-path
+    scatter (the single largest fixed cost of a mapping iteration).
+    """
+    featpos = jnp.concatenate([feats, map_pos], axis=1)
+    return jnp.take(featpos, I.reshape(-1), axis=0).reshape(
+        I.shape[0], I.shape[1], -1)
+
+
+def _gather_featpos_fwd(feats, map_pos, I):
+    return gather_featpos(feats, map_pos, I), (I, feats.shape, map_pos.shape)
+
+
+def _gather_featpos_bwd(res, g):
+    I, fshape, pshape = res
+    c2 = fshape[1]
+    dfeats = jnp.zeros(fshape, g.dtype).at[I.reshape(-1)].add(
+        g[..., :c2].reshape(-1, c2))
+    return dfeats, jnp.zeros(pshape, g.dtype), None
+
+
+gather_featpos.defvjp(_gather_featpos_fwd, _gather_featpos_bwd)
+
+
 def eval_points(params, map_pos, grid, feats, pts, key,
                 opts: RenderOptions, stage: str, views_d=None,
                 r_query=None, exposure_feat=None):
@@ -99,23 +129,37 @@ def eval_points(params, map_pos, grid, feats, pts, key,
     rgb is post-sigmoid unless encode_exposure with exposure_feat=None (the
     mapper's deferred-exposure path, reference Mapper.py:696-715).
     """
-    n = pts.shape[0]
     rq = opts.radius_query if r_query is None else r_query
     D_idx, I, nn_count = knn.query(
         grid, map_pos, jax.lax.stop_gradient(pts), opts.nn_num, rq,
         opts.table_size, opts.max_per_cell)
-    kg, kc = jax.random.split(key)
-    c = opts.c_dim
     # ONE gather serves both decoders AND the neighbor positions: the
     # packed [geometry || color || xyz] table is a cheap concat (~0.06 ms
     # at cap=2^17) while a separate position gather would cost another
     # ~0.6 ms of row-granular HBM traffic. FLAT index form — XLA lowers
     # the (N, k) 2-d gather ~2.5x slower than the same gather flattened
     # (measured 1.43 vs 0.58 ms at N=25k on a v5e).
-    featpos = jnp.concatenate(
-        [feats, jax.lax.stop_gradient(map_pos)], axis=1)
-    both = jnp.take(featpos, I.reshape(-1), axis=0).reshape(
-        n, opts.nn_num, -1)  # (N, k, 2c+3)
+    both = gather_featpos(feats, jax.lax.stop_gradient(map_pos), I)
+    return decode_neighbors(params, pts, key, opts, stage, D_idx, both,
+                            nn_count, rq, views_d, exposure_feat)
+
+
+def decode_neighbors(params, pts, key, opts: RenderOptions, stage: str,
+                     D_idx, both, nn_count, rq, views_d=None,
+                     exposure_feat=None):
+    """Decode occupancy/color from already-fetched neighbor data.
+
+    Split out of eval_points so multi-chip neighbor providers (the
+    map-sharded ring fetch in parallel/map_shard.py) reuse the exact
+    single-chip decode semantics. `both` is the gathered
+    (N, k, 2c + 3) [geo feats || color feats || position] block; `D_idx`
+    the index-structure distances (only thresholded, never
+    differentiated); distances are recomputed differentiably from the
+    gathered positions.
+    """
+    n = pts.shape[0]
+    c = opts.c_dim
+    kg, kc = jax.random.split(key)
     geo_n, col_n = both[..., :c], both[..., c:2 * c]
     neighbor_pos = jax.lax.stop_gradient(both[..., 2 * c:])
     diff = neighbor_pos - pts[:, None, :]
@@ -138,7 +182,7 @@ def eval_points(params, map_pos, grid, feats, pts, key,
         return occ, jnp.zeros((n, 3), pts.dtype), has_neighbors
 
     if opts.encode_rel_pos_in_col:
-        rel = jax.lax.stop_gradient(neighbor_pos) - pts[:, None, :]
+        rel = neighbor_pos - pts[:, None, :]
         col_n = neighbor_transform(params["col"], col_n, rel)
     c_col = interpolate_features(col_n, w, has_neighbors, kc, opts.c_dim)
     rgb = col_forward(params["col"], pts, c_col, views_d,
