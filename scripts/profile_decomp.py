@@ -300,13 +300,17 @@ def main():
             return out[0]
         return step
 
-    trainable = {"dec": params, "feat": feats}
+    def fresh_trainable():
+        # optimize_map DONATES its trainable arg: reusing the original
+        # handles after a chain poisons the buffers ("TPU backend error");
+        # deep-copy the leaves for every chain
+        return jax.tree.map(lambda x: x + 0.0, {"dec": params, "feat": feats})
+
     t1 = chain_time("optimize_map 1 iter (chained)",
-                    step_factory(1), trainable,
+                    step_factory(1), fresh_trainable(),
                     (pts, grid, kf_color, kf_depth, kf_c2w), rtt, n=6)
-    trainable = {"dec": params, "feat": feats}
     t5 = chain_time("optimize_map 5 iters (chained)",
-                    step_factory(5), trainable,
+                    step_factory(5), fresh_trainable(),
                     (pts, grid, kf_color, kf_depth, kf_c2w), rtt, n=6)
     print(f"  -> marginal per-iter: {(t5-t1)/4*1e3:.2f} ms", flush=True)
 
