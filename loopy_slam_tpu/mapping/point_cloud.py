@@ -26,6 +26,27 @@ import jax.numpy as jnp
 from ..ops import knn
 
 
+def effective_cell_and_slots(cfg):
+    """The ONE place the hash-grid cell edge and slot capacity derive from
+    the config (MapOptions and RenderOptions both call this, so the
+    build-time grid and the renderer's static options cannot disagree).
+
+    Cell edge must cover the largest query radius so the 3x3x3 stencil is
+    exact (dynamic radius can reach radius_query_ratio * radius_add_max),
+    and bigger cells hold more points, so slot capacity scales up with
+    them (row overflow silently drops neighbors; grid.n_dropped counts it
+    and slam.map_frame surfaces it).
+    """
+    pc = cfg["pointcloud"]
+    if cfg["use_dynamic_radius"]:
+        cell = float(pc["radius_query_ratio"] * pc["radius_add_max"])
+        mpc = max(int(pc["max_per_cell"]), 64)
+    else:
+        cell = float(pc["radius_query"])
+        mpc = int(pc["max_per_cell"])
+    return cell, mpc
+
+
 class MapOptions(NamedTuple):
     """Static point-cloud configuration (hashable, from YAML pointcloud.*)."""
 
@@ -47,18 +68,7 @@ class MapOptions(NamedTuple):
     @staticmethod
     def from_cfg(cfg):
         pc = cfg["pointcloud"]
-        # Cell edge must cover the largest query radius so the 3x3x3
-        # stencil is exact (dynamic radius can reach
-        # radius_query_ratio * radius_add_max).
-        if cfg["use_dynamic_radius"]:
-            cell = float(pc["radius_query_ratio"] * pc["radius_add_max"])
-            # bigger cells hold more points: scale slot capacity so rows
-            # don't overflow (overflow silently drops neighbors;
-            # grid.n_dropped counts them)
-            mpc = max(int(pc["max_per_cell"]), 64)
-        else:
-            cell = float(pc["radius_query"])
-            mpc = int(pc["max_per_cell"])
+        cell, mpc = effective_cell_and_slots(cfg)
         return MapOptions(
             capacity=int(pc["capacity"]),
             input_capacity=int(pc.get("input_capacity", pc["capacity"])),

@@ -179,8 +179,10 @@ def fourier_embed(p, B, concat_cos: bool):
 
 
 def _trunk(layers, fc_c, out, emb, c, act):
-    """Plain-XLA trunk (kept as the reference implementation for parity
-    tests; the hot path goes through ops.fused_mlp.trunk_apply)."""
+    """The production trunk forward (plain XLA). A hand-fused Pallas
+    variant exists in ops/fused_mlp.py but measured 6x SLOWER (see its
+    docstring) and is NOT wired in — it is kept only as a tested record
+    of that negative result."""
     h = emb
     for i in range(N_BLOCKS):
         h = act(h @ layers[i]["w"] + layers[i]["b"])

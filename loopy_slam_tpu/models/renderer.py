@@ -59,6 +59,9 @@ class RenderOptions(NamedTuple):
 
     @staticmethod
     def from_cfg(cfg, sigmoid_coef=None):
+        from ..mapping.point_cloud import effective_cell_and_slots
+
+        _, mpc = effective_cell_and_slots(cfg)
         return RenderOptions(
             n_surface=cfg["rendering"]["N_surface"],
             near_end=cfg["rendering"]["near_end"],
@@ -71,12 +74,10 @@ class RenderOptions(NamedTuple):
             min_nn_num=cfg["pointcloud"]["min_nn_num"],
             radius_query=cfg["pointcloud"]["radius_query"],
             table_size=cfg["pointcloud"]["cell_table_size"],
-            # mirror MapOptions.from_cfg: dynamic radius widens cells, so
-            # slot capacity scales up (the grid's build-time value is
-            # authoritative at query; this keeps the configs in agreement)
-            max_per_cell=(max(cfg["pointcloud"]["max_per_cell"], 64)
-                          if cfg["use_dynamic_radius"]
-                          else cfg["pointcloud"]["max_per_cell"]),
+            # shared derivation with MapOptions (the grid's build-time
+            # value is authoritative at query; deriving both from one
+            # helper keeps the configs in agreement by construction)
+            max_per_cell=mpc,
             weighting=cfg["pointcloud"]["nn_weighting"],
             c_dim=cfg["model"]["c_dim"],
             encode_rel_pos_in_col=cfg["model"]["encode_rel_pos_in_col"],

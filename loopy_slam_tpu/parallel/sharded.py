@@ -62,7 +62,7 @@ def make_sharded_train_step(mesh: Mesh, mopts: MapperOptions,
                  loss). kf_* are replicated; the per-frame pixel sampling
     happens inside, sharded by folding the device index into the RNG key.
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     local_pix = max(pix_per_frame // mesh.devices.size, 1)
 
@@ -78,7 +78,7 @@ def make_sharded_train_step(mesh: Mesh, mopts: MapperOptions,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
              out_specs=(P(), P(), P()),
-             check_rep=False)
+             check_vma=False)
     def _step(trainable, st, dec_mask, feat_mask, map_pos, grid,
               kf_color, kf_depth, kf_c2w, key, lrs):
         grad_fn = jax.value_and_grad(local_loss, has_aux=True)
@@ -130,11 +130,9 @@ def make_sharded_optimize_map(mesh: Mesh, opts: MapperOptions,
                     grid, kf_color, kf_depth, kf_c2w, kf_rq, key, n_geo,
                     n_col, lrs_geo, lrs_col, kf_exposure=kf_exposure)
 
-    from jax.experimental.shard_map import shard_map
-
-    sharded = shard_map(_wrapped, mesh=mesh,
+    sharded = jax.shard_map(_wrapped, mesh=mesh,
                         in_specs=(P(),) * 16, out_specs=(P(), P(), P()),
-                        check_rep=False)
+                        check_vma=False)
     return jax.jit(sharded, donate_argnames=("trainable", "adam_state"))
 
 

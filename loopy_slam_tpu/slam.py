@@ -877,15 +877,23 @@ class LoopySLAM:
         self.params = trainable["dec"]
         self.map_state = self.map_state._replace(feat=trainable["feat"])
         if self.verbose or self.wandb.enabled:
-            # one combined fetch of the loss aux (vs three scalar fetches)
-            g, c, n = np.asarray(jnp.stack(aux)).tolist()
+            # one combined fetch of the loss aux (vs separate scalar
+            # fetches); n_dropped rides along — it counts points the
+            # spatial hash could NOT index (overflowed cell rows), the
+            # silent-neighbor-loss failure mode of the kNN index, and
+            # must be visible when it ever becomes nonzero
+            dropped = self.map_state.grid.n_dropped.astype(jnp.float32)
+            g, c, n, drop = np.asarray(
+                jnp.stack(list(aux) + [dropped])).tolist()
             if self.verbose:
                 print(f"idx: {idx}, geo_loss_pixel: {g / max(n, 1):.6f}, "
-                      f"color_loss_pixel: {c / max(n, 1):.4f}, iters: {num}")
+                      f"color_loss_pixel: {c / max(n, 1):.4f}, iters: {num}"
+                      + (f", knn_dropped: {int(drop)}" if drop else ""))
             self.wandb.log({"idx_map": idx,
                             "geo_loss_pixel": g / max(n, 1),
                             "color_loss_pixel": c / max(n, 1),
                             "pts_total": self._count_host,
+                            "knn_dropped": int(drop),
                             "num_joint_iters": num})
 
         # ---------------- keyframe bookkeeping (Mapper.py:982-1004) -------

@@ -11,15 +11,23 @@ def build_random(rng, n=500, cap=1024, cell=0.4):
     pts = rng.uniform(-1.0, 1.0, size=(cap, 3)).astype(np.float32)
     valid = np.zeros(cap, bool)
     valid[:n] = True
-    grid = knn.build(jnp.asarray(pts), jnp.asarray(valid), cell, TABLE)
+    # 32 slots: at this density the default 16 can overflow a hash-merged
+    # row (exactness holds only for indexed points; grid.n_dropped counts
+    # the rest, asserted zero below)
+    grid = knn.build(jnp.asarray(pts), jnp.asarray(valid), cell, TABLE,
+                     max_per_cell=32)
     return pts, valid, grid
 
 
 def test_knn_matches_brute_force(rng):
-    cell = 0.4  # exactness contract: query radius <= cell / 2
+    cell = 0.4  # exactness contract: query radius <= cell
     pts, valid, grid = build_random(rng, cell=cell)
     q = rng.uniform(-0.9, 0.9, size=(64, 3)).astype(np.float32)
-    r = cell / 2
+    # the production operating point (MapOptions.from_cfg sets
+    # cell_size = radius_query): the 27-cell stencil must be exact at
+    # r == cell, not just r == cell/2
+    r = cell
+    assert int(grid.n_dropped) == 0  # exactness contract's precondition
     D, I, nn = knn.query(grid, jnp.asarray(pts), jnp.asarray(q), 8,
                          r, TABLE, max_per_cell=64)
     Db, Ib = knn.brute_force_knn(jnp.asarray(pts), jnp.asarray(valid),
