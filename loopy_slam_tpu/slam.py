@@ -944,10 +944,95 @@ class LoopySLAM:
         return depth, color
 
     # ------------------------------------------------------------------
-    def run(self, stop: Optional[int] = None):
+    def restore(self, ckpt_path: str) -> int:
+        """Restore a live session from a checkpoint written by finalize().
+
+        Returns the frame index to resume from (ckpt idx + 1). The
+        reference cannot do this — its checkpoints feed only the offline
+        eval tools (SURVEY.md §5, 'no restart-from-checkpoint of a live
+        SLAM run exists'). Keyframe pixel data re-loads from the dataset;
+        everything else (map buffers, decoders, trajectories, submap
+        archive, exposure state) comes from the checkpoint.
+        """
+        from .utils.io import load_checkpoint
+
+        ckpt = load_checkpoint(ckpt_path)
+        last_idx = int(ckpt["idx"])
+        self.params = jax.tree.map(jnp.asarray, ckpt["params"])
+
+        # ---- map buffers: allocate the growth-policy capacity that covers
+        # the saved prefix, then rebuild the spatial index
+        m = ckpt["map"]
+        count = int(m["count"])
+        cap = min(self.initial_capacity, self.mopts_map.capacity)
+        while cap < count + 6000 and cap < self.mopts_map.capacity:
+            cap *= 2
+        pos = jnp.zeros((cap, 3), jnp.float32).at[:count].set(
+            jnp.asarray(m["pos"]))
+        feat = (jnp.zeros((cap, 2 * self.mopts_map.c_dim), jnp.float32)
+                .at[:count, :self.mopts_map.c_dim].set(jnp.asarray(m["geo"]))
+                .at[:count, self.mopts_map.c_dim:].set(jnp.asarray(m["col"])))
+        grid = knn.build(pos, jnp.arange(cap) < count,
+                         self.mopts_map.cell_size, self.mopts_map.table_size,
+                         self.mopts_map.max_per_cell)
+        r = ckpt["resume"]
+        in_cap = self.map_state.in_pos.shape[0]
+        n_in = min(int(r["in_count"]), in_cap)
+        self.map_state = self.map_state._replace(
+            pos=pos, feat=feat, grid=grid,
+            count=jnp.asarray(count, jnp.int32),
+            in_pos=self.map_state.in_pos.at[:n_in].set(
+                jnp.asarray(r["in_pos"][:n_in])),
+            in_rgb=self.map_state.in_rgb.at[:n_in].set(
+                jnp.asarray(r["in_rgb"][:n_in])),
+            in_count=jnp.asarray(n_in, jnp.int32))
+        self._count_host = count
+
+        # ---- trajectories + keyframe metadata
+        n = min(last_idx + 1, self.n_img)
+        self.estimate_c2w[:n] = np.asarray(ckpt["estimate_c2w_list"])[:n]
+        self.gt_c2w[:n] = np.asarray(ckpt["gt_c2w_list"])[:n]
+        self.keyframe_global_list = list(ckpt["keyframe_list"])
+        self.keyframe_list = list(r["keyframe_local_list"])
+        self.kf_est_c2w = dict(ckpt["keyframe_est_c2w"])
+        self.kf_gt_c2w = dict(r["kf_gt_c2w"])
+        self.selected_keyframes = dict(ckpt["selected_keyframes"])
+        self.kf_exposure = dict(r["kf_exposure"])
+        self.exposure_feat = jnp.asarray(r["exposure_feat"])
+        self.prev_mapped_idx = r["prev_mapped_idx"]
+
+        # ---- keyframe pixel ring: re-read frames from the dataset in the
+        # original slot order (slot ids must match kf_slot_of_idx)
+        for kf_idx in r["kf_order"]:
+            _, color_np, depth_np, _ = self.dataset[kf_idx]
+            color, depth = _frame_to_f32(
+                jnp.asarray(color_np.astype(np.float16)),
+                jnp.asarray(depth_np))
+            self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
+            slot = self.kf_slots_used
+            self.kf_slots_used += 1
+            self.kf_slot_of_idx[kf_idx] = slot
+            self.kf_color, self.kf_depth = _kf_insert(
+                self.kf_color, self.kf_depth, color, depth,
+                self._dev(slot, np.int32))
+            if self.use_dynamic_radius:
+                self.kf_rq = _kf_insert_rq(self.kf_rq, self.cur_r_query,
+                                           self._dev(slot, np.int32))
+
+        # ---- submap archive + loop-closure bookkeeping
+        self.fm.fragments = list(r["fragments"])
+        self.active_sensor_start = int(r["active_sensor_start"])
+
+        if self.verbose:
+            print(f"resumed from {ckpt_path}: frame {last_idx}, "
+                  f"{count} points, {len(self.fm.fragments)} segments, "
+                  f"{self.kf_slots_used} keyframes")
+        return last_idx + 1
+
+    def run(self, stop: Optional[int] = None, start_idx: int = 0):
         stop = stop or self.cfg.get("stop") or 0
         progress = os.environ.get("LOOPY_PROGRESS")
-        for idx in range(self.n_img):
+        for idx in range(start_idx, self.n_img):
             if progress:
                 import sys
                 err = (np.linalg.norm(self.estimate_c2w[idx - 1][:3, 3]
@@ -1124,6 +1209,22 @@ class LoopySLAM:
             "keyframe_est_c2w": self.kf_est_c2w,
             "selected_keyframes": self.selected_keyframes,
             "cfg": self.cfg,
+            # live-resume state (a capability the reference lacks — its
+            # ckpts feed only the offline tools, SURVEY.md §5): everything
+            # needed to reconstruct the in-memory session. Keyframe PIXELS
+            # are not stored — they re-load from the dataset by index.
+            "resume": {
+                "in_pos": pts, "in_rgb": rgb, "in_count": n_in,
+                "keyframe_local_list": self.keyframe_list,
+                "kf_gt_c2w": self.kf_gt_c2w,
+                "kf_order": sorted(self.kf_slot_of_idx,
+                                   key=self.kf_slot_of_idx.get),
+                "kf_exposure": self.kf_exposure,
+                "exposure_feat": np.asarray(self.exposure_feat),
+                "prev_mapped_idx": self.prev_mapped_idx,
+                "fragments": self.fm.fragments,
+                "active_sensor_start": self.active_sensor_start,
+            },
         }
         save_checkpoint(os.path.join(self.output, "ckpts",
                                      f"{last_idx:05d}.pkl"), ckpt)

@@ -21,6 +21,11 @@ def main():
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument("--stop", type=int, default=0,
                         help="deterministic truncation for regression runs")
+    parser.add_argument("--resume", type=str, default=None, nargs="?",
+                        const="auto",
+                        help="resume a live run from a checkpoint: a .pkl "
+                             "path, or bare --resume for the latest ckpt "
+                             "in <output>/ckpts")
     parser.add_argument("--wandb", dest="wandb", action="store_true")
     parser.add_argument("--no_wandb", dest="wandb", action="store_false")
     parser.set_defaults(wandb=None)
@@ -43,7 +48,21 @@ def main():
     np.random.seed(cfg["setup_seed"])
 
     slam = LoopySLAM(cfg, output=cfg["data"]["output"])
-    result = slam.run(stop=cfg.get("stop", 0))
+    start_idx = 0
+    if args.resume:
+        import glob
+        import os
+        path = args.resume
+        if path == "auto":
+            cands = [p for p in sorted(glob.glob(
+                os.path.join(slam.output, "ckpts", "*.pkl")))
+                if "_pgo" not in os.path.basename(p)]
+            if not cands:
+                raise SystemExit(
+                    f"--resume: no checkpoints in {slam.output}/ckpts")
+            path = cands[-1]
+        start_idx = slam.restore(path)
+    result = slam.run(stop=cfg.get("stop", 0), start_idx=start_idx)
 
     # end-of-run evaluation (reference Mapper.py:1056-1218): ATE, render
     # metrics, mesh reconstruction metrics
