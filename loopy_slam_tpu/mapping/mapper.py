@@ -200,7 +200,9 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
                 lambda e: exposure_affine(params["col"], e))(latents)
             cf = color.reshape(F, pix_per_frame, 3)
             cf = jnp.einsum("fpc,fcd->fpd", cf, rots) + transs[:, None, :]
-            color = jax.nn.sigmoid(cf).reshape(-1, 3)
+            from ..models.renderer import soft_clamp_logits
+
+            color = jax.nn.sigmoid(soft_clamp_logits(cf)).reshape(-1, 3)
         col_loss = jnp.sum(jnp.where(m[:, None], jnp.abs(c - color), 0.0))
         loss = loss + opts.w_color_loss * col_loss
     return loss, (geo_loss, col_loss, jnp.sum(m).astype(jnp.float32))

@@ -169,11 +169,14 @@ def trainable_mask(params: Dict[str, Any], cfg: Dict[str, Any]):
 # ---------------------------------------------------------------------------
 
 def fourier_embed(p, B, concat_cos: bool):
-    # The phase 2*pi*p@B reaches hundreds of radians at scale 25-32, so the
-    # TPU's default bf16 matmul passes would corrupt it by ~1 rad. Instead
-    # of precision="highest" (6-pass MXU, measured 20x slower than default
-    # for this K=3 contraction), compute the contraction as an exact-f32
-    # broadcast multiply-sum on the VPU — K=3 is not matmul material.
+    # The phase 2*pi*p@B reaches hundreds of radians at scale 25-32, so
+    # the TPU's default bf16 matmul passes would corrupt it by ~1 rad;
+    # precision="highest" is exact but 20x slower for this K=3
+    # contraction. The broadcast multiply-sum is exact f32 on the VPU.
+    # (A historical false lead: swapping these two exact-f32 forms once
+    # appeared to toggle a color-training collapse — the real cause was a
+    # seed-sensitive sigmoid-saturation latch, fixed by
+    # renderer.soft_clamp_logits; either phase form is sound.)
     x = jnp.sum((2.0 * jnp.pi) * p[..., :, None] * B, axis=-2)
     return jnp.concatenate([jnp.sin(x), jnp.cos(x)], -1) if concat_cos else jnp.sin(x)
 

@@ -191,11 +191,34 @@ def decode_neighbors(params, pts, key, opts: RenderOptions, stage: str,
     if opts.encode_exposure:
         if exposure_feat is not None:
             rot, trans = exposure_affine(params["col"], exposure_feat)
-            rgb = jax.nn.sigmoid(rgb @ rot + trans)
+            rgb = jax.nn.sigmoid(soft_clamp_logits(rgb @ rot + trans))
         # else: defer exposure+sigmoid to the caller (mapper color stage)
     else:
-        rgb = jax.nn.sigmoid(rgb)
+        rgb = jax.nn.sigmoid(soft_clamp_logits(rgb))
     return occ, rgb, has_neighbors
+
+
+def soft_clamp_logits(x, limit=12.0):
+    """Bound pre-sigmoid color logits with a RATIONAL soft clamp.
+
+    Robustness addition over the reference: under the L1 color loss, Adam
+    can transiently drive logits to the hundreds (observed on a v5e:
+    within 50 color iterations every sample railed to (1, 0, 0) color),
+    after which sigmoid'(x) — and tanh'(x/L) of a tanh clamp — underflow
+    to EXACT f32 zero. Zero gradient means zero Adam update: the color
+    head latches permanently grey/railed (seed-dependent collapse, frame-0
+    color loss stuck at ~1.5 = 3 channels x 0.5).
+
+    x / (1 + |x|/L) bounds the logit to (-L, L) while its derivative
+    1/(1 + |x|/L)^2 decays only POLYNOMIALLY — nonzero in f32 until
+    |x| ~ 1e19 — and Adam is magnitude-invariant: a tiny-but-nonzero
+    gradient sign is enough to walk the head back out of saturation.
+    The map is strictly monotone and covers colors in
+    [sigmoid(-12), sigmoid(12)] — beyond 8-bit resolution — so it only
+    stretches the logit parameterization; every L1 optimum the bare
+    sigmoid head could reach remains reachable.
+    """
+    return x / (1.0 + jnp.abs(x) / limit)
 
 
 def render_batch_ray(params, map_pos, grid, feats,

@@ -248,7 +248,12 @@ class Synthetic(BaseDataset):
         ch = ((np.floor(p[..., 0] * 2.5) + np.floor(p[..., 1] * 2.5)
                + np.floor(p[..., 2] * 2.5)) % 2.0)
         rgb = np.stack([r, g, b], axis=-1)
-        return np.clip(0.75 * rgb + 0.25 * ch[..., None], 0.0, 1.0)
+        # clip INSIDE (0,1): targets at exactly 0/1 demand infinite
+        # pre-sigmoid logits from the color head, and with an L1 loss that
+        # drives the sigmoid into gradient-dead saturation (a seed-
+        # dependent color collapse observed on TPU). Natural RGBD frames
+        # (Replica/TUM PNGs) are rarely exactly 0/1 either.
+        return np.clip(0.75 * rgb + 0.25 * ch[..., None], 0.03, 0.97)
 
     def render_frame(self, c2w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         H, W = self.H, self.W
