@@ -961,11 +961,14 @@ class LoopySLAM:
         self.params = jax.tree.map(jnp.asarray, ckpt["params"])
 
         # ---- map buffers: allocate the growth-policy capacity that covers
-        # the saved prefix, then rebuild the spatial index
+        # the saved prefix, then rebuild the spatial index. No clamp at
+        # mopts_map.capacity: an end-of-run checkpoint written after the
+        # global merge (_build_end_state) can legitimately hold more points
+        # than the configured per-segment capacity.
         m = ckpt["map"]
         count = int(m["count"])
         cap = min(self.initial_capacity, self.mopts_map.capacity)
-        while cap < count + 6000 and cap < self.mopts_map.capacity:
+        while cap < count + 6000:
             cap *= 2
         pos = jnp.zeros((cap, 3), jnp.float32).at[:count].set(
             jnp.asarray(m["pos"]))
@@ -997,31 +1000,58 @@ class LoopySLAM:
         self.kf_est_c2w = dict(ckpt["keyframe_est_c2w"])
         self.kf_gt_c2w = dict(r["kf_gt_c2w"])
         self.selected_keyframes = dict(ckpt["selected_keyframes"])
-        self.kf_exposure = dict(r["kf_exposure"])
         self.exposure_feat = jnp.asarray(r["exposure_feat"])
         self.prev_mapped_idx = r["prev_mapped_idx"]
 
         # ---- keyframe pixel ring: re-read frames from the dataset in the
-        # original slot order (slot ids must match kf_slot_of_idx)
-        for kf_idx in r["kf_order"]:
+        # original slot order (slot ids must match kf_slot_of_idx);
+        # _add_keyframe supplies the ring-capacity guard — a resumed
+        # session may allocate a smaller ring than the one the checkpoint
+        # was written with (e.g. the original run used --stop, which
+        # shrinks keyframe_every)
+        kf_order = [i for i in r["kf_order"] if i in self.kf_est_c2w]
+        if len(kf_order) > self.kf_color.shape[0]:
+            raise ValueError(
+                f"checkpoint holds {len(kf_order)} keyframes but this "
+                f"session's ring fits {self.kf_color.shape[0]} — rerun "
+                "with the original keyframe_every/--stop settings")
+        for kf_idx in kf_order:
             _, color_np, depth_np, _ = self.dataset[kf_idx]
             color, depth = _frame_to_f32(
                 jnp.asarray(color_np.astype(np.float16)),
                 jnp.asarray(depth_np))
             self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
-            slot = self.kf_slots_used
-            self.kf_slots_used += 1
-            self.kf_slot_of_idx[kf_idx] = slot
-            self.kf_color, self.kf_depth = _kf_insert(
-                self.kf_color, self.kf_depth, color, depth,
-                self._dev(slot, np.int32))
-            if self.use_dynamic_radius:
-                self.kf_rq = _kf_insert_rq(self.kf_rq, self.cur_r_query,
-                                           self._dev(slot, np.int32))
+            self._add_keyframe(kf_idx, color, depth,
+                               self.kf_est_c2w[kf_idx],
+                               self.kf_gt_c2w.get(
+                                   kf_idx, self.kf_est_c2w[kf_idx]))
+        # _add_keyframe stamped the CURRENT exposure latent; the saved
+        # per-keyframe latents are authoritative
+        self.kf_exposure = dict(r["kf_exposure"])
 
-        # ---- submap archive + loop-closure bookkeeping
+        # ---- submap archive + loop-closure bookkeeping: replay the
+        # place-recognition database in fragment order so query result ids
+        # keep indexing fragments correctly, and restore the per-segment
+        # score baselines
         self.fm.fragments = list(r["fragments"])
         self.active_sensor_start = int(r["active_sensor_start"])
+        for f in self.fm.fragments:
+            self.lc.on_new_segment(f.anchor_des)
+        self.lc.dbow_scores = list(r.get("dbow_scores", []))
+
+        # ---- RNG: continue the saved stream instead of replaying the one
+        # frames 0..last_idx already consumed
+        if "rng_key" in r:
+            self.key = jnp.asarray(r["rng_key"])
+            self._key_pool = []
+        if "np_rng_state" in r:
+            self.nprng.bit_generator.state = r["np_rng_state"]
+
+        # ---- visual-odometry motion model needs the previous frame
+        if self.cfg["tracking"]["visual_odometer"] and last_idx >= 0:
+            _, c_prev, d_prev, _ = self.dataset[last_idx]
+            self._prev_frame = _frame_to_f32(
+                jnp.asarray(c_prev.astype(np.float16)), jnp.asarray(d_prev))
 
         if self.verbose:
             print(f"resumed from {ckpt_path}: frame {last_idx}, "
@@ -1031,6 +1061,16 @@ class LoopySLAM:
 
     def run(self, stop: Optional[int] = None, start_idx: int = 0):
         stop = stop or self.cfg.get("stop") or 0
+        if start_idx >= self.n_img:
+            # resuming a checkpoint of an already-completed run
+            if self.verbose:
+                print(f"nothing to do: checkpoint covers all "
+                      f"{self.n_img} frames")
+            return {
+                "estimate_c2w": self.estimate_c2w[:self.n_img],
+                "gt_c2w": self.gt_c2w[:self.n_img],
+                "n_points": int(self.map_state.count),
+            }
         progress = os.environ.get("LOOPY_PROGRESS")
         for idx in range(start_idx, self.n_img):
             if progress:
@@ -1086,7 +1126,7 @@ class LoopySLAM:
             ckpt_freq = self.cfg["mapping"]["ckpt_freq"]
             if (self.cfg["mapping"]["save_ckpts"] and idx > 0
                     and idx % ckpt_freq == 0):
-                self.finalize(idx)
+                self.finalize(idx, final=False)
 
             if stop and idx != 0 and idx % stop == 0:
                 break
@@ -1183,7 +1223,7 @@ class LoopySLAM:
         return {**render_stats, **recon_stats}
 
     # ------------------------------------------------------------------
-    def finalize(self, last_idx):
+    def finalize(self, last_idx, final: bool = True):
         s = self.map_state
         n_in = int(s.in_count)
         pts = np.asarray(s.in_pos)[:n_in]
@@ -1224,11 +1264,15 @@ class LoopySLAM:
                 "prev_mapped_idx": self.prev_mapped_idx,
                 "fragments": self.fm.fragments,
                 "active_sensor_start": self.active_sensor_start,
+                "dbow_scores": list(self.lc.dbow_scores),
+                "rng_key": np.asarray(self.key),
+                "np_rng_state": self.nprng.bit_generator.state,
             },
         }
         save_checkpoint(os.path.join(self.output, "ckpts",
                                      f"{last_idx:05d}.pkl"), ckpt)
-        self.wandb.finish()
+        if final:
+            self.wandb.finish()
 
 
 from functools import partial  # noqa: E402
