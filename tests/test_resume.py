@@ -39,6 +39,12 @@ def test_resume_continues_to_completion(tmp_path):
     assert slam2.kf_slots_used == slam1.kf_slots_used
     np.testing.assert_allclose(slam2.estimate_c2w[:7], est_prefix)
 
+    # loop-closure bookkeeping must be replayed: the place-recognition
+    # database indexes fragments by position, and score baselines ride
+    # along (review finding: a fresh empty db would offset every query id)
+    assert len(slam2.lc.db.entries) == len(slam2.fm.fragments)
+    assert len(slam2.lc.dbow_scores) == len(slam1.lc.dbow_scores)
+
     result = slam2.run(start_idx=start)
 
     # the resumed session must cover the whole trajectory with a sane pose
