@@ -259,15 +259,30 @@ class LoopySLAM:
     # ------------------------------------------------------------------
     def _load_pretrained_geo(self):
         path = self.cfg["pretrained_decoders"].get("middle_fine", "")
-        if path and os.path.exists(path):
-            import pickle
-            with open(path, "rb") as f:
-                geo = pickle.load(f)
-            for k, v in geo.items():
-                if k in self.params["geo"]:
-                    self.params["geo"][k] = jax.tree.map(jnp.asarray, v)
-            if self.verbose:
-                print(f"Loaded pretrained geometry decoder from {path}")
+        if not path:
+            return
+        # resolve relative paths against the cwd, then the repo root, so
+        # `pretrained/geo_decoder.pkl` in a config works from any cwd
+        cand = [path, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            path)]
+        found = next((p for p in cand if os.path.exists(p)), None)
+        if found is None:
+            # a configured-but-missing trunk must not silently fall back
+            # to a frozen RANDOM trunk (fix_geo_decoder freezes whatever
+            # is loaded; the degraded config costs ~2x ATE)
+            raise FileNotFoundError(
+                f"pretrained_decoders.middle_fine = {path!r} not found "
+                f"(tried {cand}); clear the setting to train from "
+                "random init")
+        import pickle
+        with open(found, "rb") as f:
+            geo = pickle.load(f)
+        for k, v in geo.items():
+            if k in self.params["geo"]:
+                self.params["geo"][k] = jax.tree.map(jnp.asarray, v)
+        if self.verbose:
+            print(f"Loaded pretrained geometry decoder from {found}")
 
     # ------------------------------------------------------------------
     def _dynamic_radius(self, color_np):
@@ -1004,12 +1019,14 @@ class LoopySLAM:
         self.prev_mapped_idx = r["prev_mapped_idx"]
 
         # ---- keyframe pixel ring: re-read frames from the dataset in the
-        # original slot order (slot ids must match kf_slot_of_idx);
-        # _add_keyframe supplies the ring-capacity guard — a resumed
-        # session may allocate a smaller ring than the one the checkpoint
-        # was written with (e.g. the original run used --stop, which
-        # shrinks keyframe_every)
-        kf_order = [i for i in r["kf_order"] if i in self.kf_est_c2w]
+        # original slot order (slot ids must match kf_slot_of_idx); fail
+        # loudly on inconsistent checkpoints — a silently dropped entry
+        # would shift every later slot id against the restored state
+        kf_order = list(r["kf_order"])
+        missing = [i for i in kf_order if i not in self.kf_est_c2w]
+        if missing:
+            raise ValueError(
+                f"checkpoint keyframes {missing} have no saved pose")
         if len(kf_order) > self.kf_color.shape[0]:
             raise ValueError(
                 f"checkpoint holds {len(kf_order)} keyframes but this "
@@ -1037,13 +1054,20 @@ class LoopySLAM:
         self.active_sensor_start = int(r["active_sensor_start"])
         for f in self.fm.fragments:
             self.lc.on_new_segment(f.anchor_des)
-        self.lc.dbow_scores = list(r.get("dbow_scores", []))
+        if "dbow_scores" in r:
+            self.lc.dbow_scores = list(r["dbow_scores"])
+        elif self.fm.fragments:
+            print("WARNING: checkpoint predates dbow_scores — the "
+                  "loop-closure score-floor filter is disabled for "
+                  "restored segments")
 
         # ---- RNG: continue the saved stream instead of replaying the one
         # frames 0..last_idx already consumed
         if "rng_key" in r:
             self.key = jnp.asarray(r["rng_key"])
-            self._key_pool = []
+            # restoring the unconsumed pool keeps stop-then-resume key
+            # consumption identical to an uninterrupted run
+            self._key_pool = [jnp.asarray(k) for k in r.get("rng_pool", [])]
         if "np_rng_state" in r:
             self.nprng.bit_generator.state = r["np_rng_state"]
 
@@ -1066,6 +1090,7 @@ class LoopySLAM:
             if self.verbose:
                 print(f"nothing to do: checkpoint covers all "
                       f"{self.n_img} frames")
+            self.wandb.finish()
             return {
                 "estimate_c2w": self.estimate_c2w[:self.n_img],
                 "gt_c2w": self.gt_c2w[:self.n_img],
@@ -1228,10 +1253,13 @@ class LoopySLAM:
         n_in = int(s.in_count)
         pts = np.asarray(s.in_pos)[:n_in]
         rgb = np.asarray(s.in_rgb)[:n_in]
-        np.save(os.path.join(self.output, "final_point_cloud"),
-                np.hstack([pts, rgb * 255.0]))
-        write_ply_points(os.path.join(self.output, "final_point_cloud.ply"),
-                         pts, rgb)
+        if final:
+            # only the end-of-run call exports the named-final artifacts
+            np.save(os.path.join(self.output, "final_point_cloud"),
+                    np.hstack([pts, rgb * 255.0]))
+            write_ply_points(
+                os.path.join(self.output, "final_point_cloud.ply"),
+                pts, rgb)
         ckpt = {
             "estimate_c2w_list": self.estimate_c2w,
             "gt_c2w_list": self.gt_c2w,
@@ -1266,6 +1294,7 @@ class LoopySLAM:
                 "active_sensor_start": self.active_sensor_start,
                 "dbow_scores": list(self.lc.dbow_scores),
                 "rng_key": np.asarray(self.key),
+                "rng_pool": [np.asarray(k) for k in self._key_pool],
                 "np_rng_state": self.nprng.bit_generator.state,
             },
         }
