@@ -1,6 +1,14 @@
 """Fused Pallas kernels for the decoder MLP trunks.
 
-The NICER-style trunks (reference src/conv_onet/models/decoder.py:106-288,
+**MEASURED NEGATIVE RESULT — deliberately unwired.** On a real v5e these
+kernels LOSE to plain XLA: 1.3 ms forward at N=25k vs 0.2 ms for XLA's own
+fusion of the same trunk — the in-kernel layer chain serializes where XLA
+pipelines layers against HBM traffic. The decoders therefore use plain XLA
+trunks (models/decoder.py); this module is kept only as the documented
+experiment record so the next person doesn't redo it expecting a win. Do
+not wire it in without re-measuring.
+
+The original hypothesis (kept for context): the NICER-style trunks (reference src/conv_onet/models/decoder.py:106-288,
 345-546: 5 Dense blocks with per-block feature injection and a skip concat
 after block 2) are memory-layout-bound as plain XLA on TPU: hidden widths
 of 32/128 leave most of the MXU's 128 lanes idle, every layer round-trips

@@ -203,7 +203,8 @@ def _select_kernel(rows_ref, q_ref, out_ref, *, k: int):
     and the key update — ~5 full-width scans instead of the ~14 of the
     earlier min+first-lane+5-field-extraction formulation (measured 4.2 ->
     ~1.8 ms at Q=25k, C=2592 on a v5e). D is returned with its 11 low
-    mantissa bits cleared (relative error <= 2^-12, rounds down); winner
+    mantissa bits SET (relative error <= 2^-12, rounds up — an upper bound
+    on the exact distance, so radius tests never over-count); winner
     positions are NOT extracted — the caller gathers them by index, which
     the renderer folds into the feature gather it does anyway.
     """
@@ -235,8 +236,12 @@ def _select_kernel(rows_ref, q_ref, out_ref, *, k: int):
         mk = jnp.min(key, axis=1, keepdims=True)   # (B, 1) packed winner
         cid = mk & 2047
         eqg = gid == cid                            # winner's 4-lane group
+        # decode with the 11 id bits SET: the true d2's mantissa low bits
+        # were >= 0, so this is an upper bound on the exact distance —
+        # D < r^2 then never over-counts neighbors relative to exact
+        # (faiss) distances at the radius boundary
         out_ref[:, kk] = jax.lax.bitcast_convert_type(
-            mk & jnp.int32(~2047), jnp.float32)[:, 0]
+            mk | jnp.int32(2047), jnp.float32)[:, 0]
         out_ref[:, k_pad + kk] = jnp.sum(
             jnp.where(eqg, idx_contrib, 0.0), axis=1)
         key = jnp.where(eqg, bigk, key)
@@ -303,7 +308,9 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
 
     Returns:
       D: (Q, k) squared distances, ascending, with the 11 low mantissa
-        bits cleared (<= 2^-12 relative, rounded down — consumers either
+        bits set (<= 2^-12 relative, rounded up: an upper bound on the
+        exact distance, so D < r^2 never over-counts vs exact/faiss
+        distances — consumers either
         threshold D or recompute it exactly from gathered neighbor
         positions); empty slots hold 1e10.
       I: (Q, k) int32 indices into the point buffer (0 where empty).

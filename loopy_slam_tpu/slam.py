@@ -995,6 +995,12 @@ class LoopySLAM:
                          self.mopts_map.max_per_cell)
         r = ckpt["resume"]
         in_cap = self.map_state.in_pos.shape[0]
+        if int(r["in_count"]) > in_cap:
+            raise ValueError(
+                f"checkpoint holds {int(r['in_count'])} input-cloud points "
+                f"but this session's input capacity is {in_cap} — resuming "
+                "would silently drop sensor points from the exported cloud; "
+                "rerun with the original pointcloud capacity settings")
         n_in = min(int(r["in_count"]), in_cap)
         self.map_state = self.map_state._replace(
             pos=pos, feat=feat, grid=grid,

@@ -65,15 +65,25 @@ def main():
     result = slam.run(stop=cfg.get("stop", 0), start_idx=start_idx)
 
     # end-of-run evaluation (reference Mapper.py:1056-1218): ATE, render
-    # metrics, mesh reconstruction metrics
-    from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
-    stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
-    print("ATE RMSE (aligned, m):", stats["rmse"])
-    print("ATE RMSE (no-align, m):", stats["rmse_no_align"])
-    if not cfg.get("stop") and (cfg["rendering"]["eval_img"]
-                                or cfg["meshing"]["eval_rec"]):
-        eval_stats = slam.final_eval()
-        print("final eval:", eval_stats)
+    # metrics, mesh reconstruction metrics. Guarded like the reference
+    # (Mapper.py:1074-1077): an eval crash must not lose the run — the
+    # final checkpoint was already written by slam.finalize() inside run().
+    try:
+        from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
+        stats = evaluate_trajectories(result["estimate_c2w"],
+                                      result["gt_c2w"])
+        print("ATE RMSE (aligned, m):", stats["rmse"])
+        print("ATE RMSE (no-align, m):", stats["rmse_no_align"])
+        if not cfg.get("stop") and (cfg["rendering"]["eval_img"]
+                                    or cfg["meshing"]["eval_rec"]):
+            eval_stats = slam.final_eval()
+            print("final eval:", eval_stats)
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        print("evaluation failed; the run itself is preserved — final "
+              f"checkpoint is in {slam.output}/ckpts (rerun eval via "
+              "loopy_slam_tpu.tools.eval_ate / get_mesh_tsdf_fusion)")
 
 
 if __name__ == "__main__":

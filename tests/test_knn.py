@@ -56,9 +56,10 @@ def test_knn_distances_sorted_and_indices_consistent(rng):
         for k in range(8):
             if D[qi, k] < 1e9:
                 d2 = np.sum((pts[I[qi, k]] - q[qi]) ** 2)
-                # quantized-down D: within 2^-12 relative, never above
+                # quantized-UP D: within 2^-12 relative, never below —
+                # D is an upper bound so radius tests never over-count
                 np.testing.assert_allclose(D[qi, k], d2, rtol=3e-4)
-                assert D[qi, k] <= d2 * (1 + 1e-6)
+                assert D[qi, k] >= d2 * (1 - 1e-6)
 
 
 def test_knn_no_duplicate_neighbors(rng):
