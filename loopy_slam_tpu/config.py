@@ -145,6 +145,9 @@ DEFAULTS: Dict[str, Any] = {
         "sample_near_pcl": True,
         "skip_zero_depth_pixel": False,
         "eval_img": False,
+        # optional LPIPS-alex weight bundle (utils/lpips.py); None -> the
+        # lpips metric is reported as None (no egress to fetch weights)
+        "lpips_weights": None,
     },
     "data": {"dim": 3, "input_folder": "", "output": "output/run"},
     # multi-chip execution (TPU-native addition): rays data-parallel over a

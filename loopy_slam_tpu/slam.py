@@ -100,10 +100,28 @@ def _adam_init_jit():
 
 
 @jax.jit
-def _frame_to_f32(color_f16, depth):
-    """Cast the half-precision uploaded color frame back to f32 on device
-    (uploading f16 halves the per-frame host->device transfer time)."""
-    return color_f16.astype(jnp.float32), depth
+def _dequantize_frame(color_u8, depth_u16, depth_scale):
+    """Expand a quantized frame upload to f32 on device."""
+    color = color_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    depth = depth_u16.astype(jnp.float32) * depth_scale
+    return color, depth
+
+
+def _upload_frame(color_np, depth_np):
+    """Host->device frame transfer, quantized to cut tunnel bandwidth.
+
+    Color rides as uint8 (matches the 8-bit source images; <=1/510
+    rounding, far below the photometric loss scale) and depth as uint16
+    with a per-frame scale (<=max_depth/131070 absolute error — finer
+    than the uint16 PNGs the datasets store). ~4 MB instead of 13 MB per
+    680x1200 frame, ~100 ms saved per frame on the ~80 MB/s tunneled
+    runtime."""
+    c8 = np.clip(np.rint(color_np * 255.0), 0, 255).astype(np.uint8)
+    dmax = float(depth_np.max())
+    scale = max(dmax, 1e-6) / 65535.0
+    d16 = np.rint(depth_np * (1.0 / scale)).astype(np.uint16)
+    return _dequantize_frame(jnp.asarray(c8), jnp.asarray(d16),
+                             jnp.float32(scale))
 
 
 def update_cam(cfg) -> Dict[str, float]:
@@ -1040,9 +1058,7 @@ class LoopySLAM:
                 "with the original keyframe_every/--stop settings")
         for kf_idx in kf_order:
             _, color_np, depth_np, _ = self.dataset[kf_idx]
-            color, depth = _frame_to_f32(
-                jnp.asarray(color_np.astype(np.float16)),
-                jnp.asarray(depth_np))
+            color, depth = _upload_frame(color_np, depth_np)
             self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
             self._add_keyframe(kf_idx, color, depth,
                                self.kf_est_c2w[kf_idx],
@@ -1080,8 +1096,7 @@ class LoopySLAM:
         # ---- visual-odometry motion model needs the previous frame
         if self.cfg["tracking"]["visual_odometer"] and last_idx >= 0:
             _, c_prev, d_prev, _ = self.dataset[last_idx]
-            self._prev_frame = _frame_to_f32(
-                jnp.asarray(c_prev.astype(np.float16)), jnp.asarray(d_prev))
+            self._prev_frame = _upload_frame(c_prev, d_prev)
 
         if self.verbose:
             print(f"resumed from {ckpt_path}: frame {last_idx}, "
@@ -1115,12 +1130,7 @@ class LoopySLAM:
                       f"segs={len(self.fm.fragments)}]",
                       file=sys.stderr, flush=True)
             _, color_np, depth_np, gt_c2w = self.dataset[idx]
-            # f16 upload halves the per-frame transfer (~35 -> ~18 ms on a
-            # tunneled runtime); color is [0,1] so f16 rounding (~5e-4) is
-            # far below the photometric loss scale
-            color, depth = _frame_to_f32(
-                jnp.asarray(color_np.astype(np.float16)),
-                jnp.asarray(depth_np))
+            color, depth = _upload_frame(color_np, depth_np)
             self.gt_c2w[idx] = gt_c2w
             self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
 
@@ -1214,7 +1224,8 @@ class LoopySLAM:
             if save_renders:
                 np.save(os.path.join(rdir, f"color_{idx:05d}.npy"), color)
                 np.save(os.path.join(rdir, f"depth_{idx:05d}.npy"), depth)
-        render_stats = evaluate_renders(pairs)
+        render_stats = evaluate_renders(
+            pairs, lpips_weights=self.cfg["rendering"].get("lpips_weights"))
         if self.verbose:
             print("render metrics:", render_stats)
 

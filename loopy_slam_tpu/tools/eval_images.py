@@ -17,23 +17,31 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..utils.metrics import depth_l1, masked_psnr, ms_ssim
+from ..utils.metrics import depth_l1, lpips, masked_psnr, ms_ssim
 
 
 def evaluate_renders(pairs: List[Tuple[np.ndarray, np.ndarray,
-                                       np.ndarray, np.ndarray]]) -> Dict:
-    """pairs: (rendered_color, gt_color, rendered_depth, gt_depth)."""
-    psnrs, ssims, d1s = [], [], []
+                                       np.ndarray, np.ndarray]],
+                     lpips_weights: str = None) -> Dict:
+    """pairs: (rendered_color, gt_color, rendered_depth, gt_depth).
+
+    lpips_weights: optional LPIPS-alex bundle path (rendering.lpips_weights)
+    — when given, the 'lpips' entry is the real metric (utils/lpips.py);
+    otherwise it is None (weights cannot be fetched in this environment)."""
+    psnrs, ssims, d1s, lps = [], [], [], []
     for rc, gc, rd, gd in pairs:
         mask = gd > 0
         psnrs.append(masked_psnr(rc, gc, mask))
         ssims.append(ms_ssim(rc, gc))
         d1s.append(depth_l1(rd, gd))
+        if lpips_weights is not None:
+            lps.append(lpips(np.clip(rc, 0.0, 1.0),
+                             np.clip(gc, 0.0, 1.0), lpips_weights))
     return {
         "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
         "ms_ssim": float(np.mean(ssims)) if ssims else float("nan"),
         "depth_l1": float(np.nanmean(d1s)) if d1s else float("nan"),
-        "lpips": None,  # requires pretrained weights; see utils/metrics
+        "lpips": float(np.mean(lps)) if lps else None,
         "n_frames": len(pairs),
     }
 

@@ -51,9 +51,19 @@ class BaseDataset:
     def _read_depth(self, path: str) -> np.ndarray:
         if path.endswith(".png"):
             d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-        else:
-            raise ValueError(f"unsupported depth format: {path}")
-        return d.astype(np.float32) / self.png_depth_scale
+            return d.astype(np.float32) / self.png_depth_scale
+        if path.endswith(".exr"):
+            # CoFusion stores depth in the EXR 'Y' channel; the reference
+            # (src/utils/datasets.py:12-44,94-102) reads it with
+            # readEXR_onlydepth and divides by png_depth_scale exactly
+            # like the png path — reproduced here with the first-party
+            # EXR codec (utils/exr.py)
+            from .exr import read_exr_depth
+            d = read_exr_depth(path)
+            if d is None:
+                raise ValueError(f"{path}: EXR has no 'Y' depth channel")
+            return d / self.png_depth_scale
+        raise ValueError(f"unsupported depth format: {path}")
 
     def __getitem__(self, index: int):
         color = cv2.imread(self.color_paths[index])

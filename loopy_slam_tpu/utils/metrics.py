@@ -123,7 +123,15 @@ def depth_l1(depth: np.ndarray, ref: np.ndarray,
 
 
 def lpips(img, ref, weights_path: Optional[str] = None):
-    """Perceptual distance. Returns None without pretrained weights (no
-    network egress in this environment); supply rendering.lpips_weights to
-    enable."""
-    return None
+    """Perceptual distance (LPIPS, AlexNet variant — utils/lpips.py).
+
+    Returns None only when no weights bundle is configured (this
+    environment has no network egress to fetch the pretrained AlexNet);
+    with `rendering.lpips_weights` pointing at a bundle produced by
+    scripts/convert_lpips_weights.py it returns the real metric. A
+    configured-but-unreadable path raises rather than silently degrading.
+    """
+    if weights_path is None:
+        return None
+    from .lpips import lpips_alex
+    return lpips_alex(img, ref, weights_path)
