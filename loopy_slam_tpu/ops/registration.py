@@ -282,6 +282,124 @@ def icp_point_to_plane(src_pts, dst_pts, dst_normals, max_corr: float,
     return T, float(fitness), rmse
 
 
+def compute_color_gradients(points: np.ndarray, normals: np.ndarray,
+                            intensities: np.ndarray, radius: float,
+                            max_nn: int = 30) -> np.ndarray:
+    """Per-point tangent-plane intensity gradient (o3d ColoredICP
+    InitializePointCloudForColoredICP): for each point k, least-squares fit
+    of d such that I(p_i) ~= I(p_k) + d . (proj(p_i) - p_k) over radius
+    neighbors p_i, with an orthogonality constraint row d . n_k = 0."""
+    tree = cKDTree(points)
+    d, i = tree.query(points, k=min(max_nn, len(points)),
+                      distance_upper_bound=radius)
+    valid = np.isfinite(d)
+    valid[:, 0] = False  # self
+    i = np.where(valid, i, 0)
+    neigh = points[i]                       # (n, k, 3)
+    dp = neigh - points[:, None, :]
+    # project neighbors onto the tangent plane of k
+    dot = np.einsum("nkd,nd->nk", dp, normals)
+    proj = dp - dot[..., None] * normals[:, None, :]
+    db = intensities[i] - intensities[:, None]
+    w = valid.astype(np.float64)
+    # normal equations with the constraint row n_k (b=0), weighted by the
+    # neighbor count so it dominates (keeps d in-plane)
+    A = np.einsum("nka,nk,nkb->nab", proj, w, proj)
+    cnt = w.sum(1)
+    A += cnt[:, None, None] * np.einsum("na,nb->nab", normals, normals)
+    b = np.einsum("nka,nk->na", proj, w * db)
+    A += 1e-9 * np.eye(3)
+    grad = np.linalg.solve(A, b[..., None])[..., 0]
+    grad[cnt < 3] = 0.0
+    return grad
+
+
+def icp_colored(src_pts, src_int, dst_pts, dst_normals, dst_int, dst_grad,
+                max_corr: float, init_T: np.ndarray, max_iter: int = 30,
+                lambda_geometric: float = 0.968):
+    """Joint geometric+photometric ICP (o3d registration_colored_icp,
+    Park et al. 2017). Per correspondence p->q:
+      r_G = sqrt(lg)   * (p - q) . n_q
+      r_C = sqrt(1-lg) * (I_q + d_q . (proj_q(p) - q) - I_p)
+    Gauss-Newton over se3, rotation-first increments like
+    icp_point_to_plane. Returns (T, fitness, inlier_rmse)."""
+    tree = cKDTree(dst_pts)
+    T = init_T.copy()
+    sqrt_lg = np.sqrt(lambda_geometric)
+    sqrt_lc = np.sqrt(max(1.0 - lambda_geometric, 0.0))
+    fitness, rmse = 0.0, np.inf
+    prev_fit, prev_rmse = -1.0, np.inf
+    for _ in range(max_iter):
+        moved = src_pts @ T[:3, :3].T + T[:3, 3]
+        d, j = tree.query(moved, k=1, distance_upper_bound=max_corr)
+        ok = np.isfinite(d)
+        if ok.sum() < 6:
+            break
+        p = moved[ok]
+        q = dst_pts[j[ok]]
+        n = dst_normals[j[ok]]
+        g_raw = dst_grad[j[ok]]
+        # geometric residual
+        pq_n = np.einsum("nd,nd->n", p - q, n)
+        r_g = sqrt_lg * pq_n
+        J_g = sqrt_lg * np.concatenate([np.cross(p, n), n], axis=1)
+        # photometric residual on q's tangent plane
+        f = p - pq_n[:, None] * n
+        pred = dst_int[j[ok]] + np.einsum("nd,nd->n", g_raw, f - q)
+        r_c = sqrt_lc * (pred - src_int[ok])
+        g = g_raw - np.einsum("nd,nd->n", g_raw, n)[:, None] * n
+        J_c = sqrt_lc * np.concatenate([np.cross(p, g), g], axis=1)
+        J = np.concatenate([J_g, J_c], axis=0)
+        r = np.concatenate([r_g, r_c], axis=0)
+        A = J.T @ J
+        b = J.T @ r
+        try:
+            dx = np.linalg.solve(A + 1e-9 * np.eye(6), -b)
+        except np.linalg.LinAlgError:
+            break
+        dT = np.eye(4)
+        dT[:3, :3] = _rotvec_to_mat(dx[:3])
+        dT[:3, 3] = dx[3:]
+        T = dT @ T
+        fitness = float(ok.mean())
+        rmse = float(np.sqrt(np.mean(r ** 2)))
+        if (abs(fitness - prev_fit) < 1e-6
+                and abs(rmse - prev_rmse) < 1e-6):
+            break
+        prev_fit, prev_rmse = fitness, rmse
+        if np.linalg.norm(dx) < 1e-10:
+            break
+    return T, fitness, rmse
+
+
+def colored_icp_multiscale(sp, sc, tp, tc, cam_s=None, cam_t=None,
+                           init_T: Optional[np.ndarray] = None):
+    """Multi-scale colored ICP mirroring the reference schedule
+    (common.py:685-713): voxel radius [0.04, 0.02, 0.01], iters
+    [50, 30, 14], normals at 2*radius/nn<=30, max_corr = radius."""
+    T = np.eye(4) if init_T is None else init_T.copy()
+    fitness, rmse = 0.0, np.inf
+    si = np.asarray(sc, np.float64).mean(1)
+    ti = np.asarray(tc, np.float64).mean(1)
+    for radius, iters in ((0.04, 50), (0.02, 30), (0.01, 14)):
+        sd, sdi = _voxel_down_sample_scalar(sp, radius, si)
+        td, tdi = _voxel_down_sample_scalar(tp, radius, ti)
+        if len(sd) < 6 or len(td) < 6:
+            continue
+        tn = estimate_normals(td, radius * 2, 30, cam_t)
+        tg = compute_color_gradients(td, tn, tdi, radius * 2, 30)
+        T, fitness, rmse = icp_colored(sd, sdi, td, tn, tdi, tg,
+                                       radius, T, max_iter=iters)
+    return T, fitness, rmse
+
+
+def _voxel_down_sample_scalar(points, voxel, scalar):
+    """voxel_down_sample variant carrying a per-point scalar channel."""
+    pts, sc = voxel_down_sample(points, voxel,
+                                colors=np.repeat(scalar[:, None], 3, axis=1))
+    return pts, sc[:, 0]
+
+
 def _rotvec_to_mat(w):
     th = np.linalg.norm(w)
     if th < 1e-12:
@@ -353,7 +471,20 @@ def pairwise_registration(source: Dict, target: Dict, method: str = "robust_icp"
         T = np.eye(4)
     elif method in ("icp", "robust_icp", "colored_icp"):
         tn = estimate_normals(tp, radius=0.1, max_nn=50, camera_location=cam_t)
-        if method == "icp" or method == "colored_icp":
+        if method == "colored_icp":
+            # reference common.py:685-713 (multi-scale colored ICP) with the
+            # :715-725 fallback to coarse->fine point-to-plane on failure
+            try:
+                sc = np.asarray(source["points_color"], np.float64)
+                tc = np.asarray(target["points_color"], np.float64)
+                T, fitness, rmse = colored_icp_multiscale(
+                    sp, sc, tp, tc, cam_s=cam_s, cam_t=cam_t)
+            except Exception:
+                T, fitness, rmse = icp_point_to_plane(
+                    sp, tp, tn, 0.3, np.eye(4), max_iter=30)
+                T, fitness, rmse = icp_point_to_plane(
+                    sp, tp, tn, 0.03, T, max_iter=30)
+        elif method == "icp":
             T, fitness, rmse = icp_point_to_plane(sp, tp, tn, 0.3, np.eye(4),
                                                   max_iter=30)
             T, fitness, rmse = icp_point_to_plane(sp, tp, tn, 0.03, T,

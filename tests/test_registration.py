@@ -104,3 +104,57 @@ def test_information_matrix_count():
     assert info[5, 5] == 500  # exact self-correspondences
     perm = reg.info_o3d_to_rho_phi(info)
     assert perm[2, 2] == 500  # translation block moved to rho
+
+
+def test_colored_icp_beats_plain_on_textured_plane(rng):
+    """A flat textured plane: in-plane translation is geometrically
+    unobservable (point-to-plane residuals vanish), but the color term
+    recovers it (reference common.py:685-713 colored ICP)."""
+    n = 6000
+    xy = rng.uniform(-0.5, 0.5, (n, 2))
+    pts = np.concatenate([xy, np.zeros((n, 1))], -1)
+    # smooth intensity texture with in-plane gradient structure
+    inten = 0.5 + 0.25 * np.sin(12.0 * pts[:, 0]) \
+        + 0.25 * np.cos(9.0 * pts[:, 1])
+    colors = np.repeat(inten[:, None], 3, axis=1)
+
+    T_true = np.eye(4)
+    T_true[:3, 3] = [0.02, -0.015, 0.0]  # pure in-plane shift
+    src = pts @ T_true[:3, :3].T + T_true[:3, 3]
+
+    cam = np.array([0.0, 0.0, 2.0])
+    # plain point-to-plane: cannot observe the in-plane shift
+    tn = reg.estimate_normals(pts, 0.08, 30, cam)
+    T_plain, _, _ = reg.icp_point_to_plane(src, pts, tn, 0.1, np.eye(4),
+                                           max_iter=30)
+    # colored ICP
+    T_col, fit, _ = reg.colored_icp_multiscale(src, colors, pts, colors,
+                                               cam_s=cam, cam_t=cam)
+    err_plain = np.linalg.norm(T_plain[:3, 3] + T_true[:3, 3])
+    err_col = np.linalg.norm(T_col[:3, 3] + T_true[:3, 3])
+    # T maps src back onto target, so the recovered translation is -T_true
+    assert err_col < 0.004, err_col
+    assert err_col < 0.3 * max(err_plain, 1e-9), (err_col, err_plain)
+    assert fit > 0.9
+
+
+def test_colored_icp_method_in_pairwise(rng):
+    """pairwise_registration(method='colored_icp') runs the multi-scale
+    path end-to-end on submap dicts and recovers a small rigid offset."""
+    pts = make_surface(rng, 5000)
+    inten = 0.5 + 0.3 * np.sin(7 * pts[:, 0]) * np.cos(5 * pts[:, 2])
+    colors = np.repeat(inten[:, None], 3, axis=1)
+    T_true = np.eye(4)
+    T_true[:3, :3] = reg._rotvec_to_mat(np.array([0.0, 0.02, 0.0]))
+    T_true[:3, 3] = [0.015, -0.01, 0.02]
+    src_pts = pts @ T_true[:3, :3].T + T_true[:3, 3]
+    kf = np.eye(4)
+    kf[:3, 3] = [0, 2.0, 0]
+    out = reg.pairwise_registration(
+        {"points": src_pts, "points_color": colors, "keyframe": kf},
+        {"points": pts, "points_color": colors, "keyframe": kf},
+        method="colored_icp")
+    T_rec = out["transformation"]
+    # recovered transform should invert T_true
+    err = np.abs(T_rec @ T_true - np.eye(4)).max()
+    assert err < 5e-3, err
