@@ -57,6 +57,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.march_tets.restype = ctypes.c_int
     lib.march_tets.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+    lib.raster_depth.restype = ctypes.c_int
+    lib.raster_depth.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -75,6 +81,27 @@ def hamming_mutual_match_count(a, b, max_dist: int) -> Optional[int]:
     return int(lib.hamming_mutual_matches(
         a.ctypes.data, len(a), b.ctypes.data, len(b), max_dist,
         idx.ctypes.data, dist.ctypes.data))
+
+
+def raster_mesh_depth(verts, faces, c2w, H: int, W: int, fx: float,
+                      fy: float, cx: float, cy: float) -> Optional["np.ndarray"]:
+    """Z-buffer depth render of a triangle mesh from pose c2w (repo camera
+    convention, see ops/raster.py). (H, W) float32, 0 = no hit; None if the
+    native toolchain is unavailable (callers fall back to point-splat)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    w2c = np.ascontiguousarray(np.linalg.inv(np.asarray(c2w, np.float64)))
+    out = np.empty(H * W, np.float32)
+    lib.raster_depth(verts.ctypes.data, len(verts), faces.ctypes.data,
+                     len(faces), w2c.ctypes.data, H, W,
+                     float(fx), float(fy), float(cx), float(cy),
+                     out.ctypes.data)
+    return out.reshape(H, W)
 
 
 def march_tets_native(vol) -> Optional["np.ndarray"]:

@@ -256,6 +256,24 @@ class LoopySLAM:
         from .utils.telemetry import WandbLogger
         self.wandb = WandbLogger(cfg, name=os.path.basename(self.output))
 
+        # periodic render-vs-GT residual panels (reference Visualizer.vis,
+        # src/utils/Visualizer.py:64-172). Gating parity: fire at the final
+        # optimizer iteration of frames with idx % vis_freq == 0, idx > 0
+        # (Tracker.py:385-390, Mapper.py:766). Our optimizer loops are fused
+        # fori_loops, so the vis_inside variant renders only at loop exit.
+        from .utils.visualizer import Visualizer
+        self.tracking_vis = self.mapping_vis = None
+        tv = int(cfg["tracking"].get("vis_freq", 0) or 0)
+        if tv > 0:
+            self.tracking_vis = Visualizer(
+                tv, os.path.join(self.output, "tracking_vis"), self,
+                verbose=self.verbose)
+        mv = int(cfg["mapping"].get("vis_freq", 0) or 0)
+        if mv > 0:
+            self.mapping_vis = Visualizer(
+                mv, os.path.join(self.output, "mapping_vis"), self,
+                verbose=self.verbose)
+
     # ------------------------------------------------------------------
     def _next_key(self):
         """Draw from the pre-split key pool (one device dispatch per 16)."""
@@ -1141,6 +1159,11 @@ class LoopySLAM:
                 self.estimate_c2w[idx] = self.track_frame(
                     idx, color, depth, color_np, depth_np=depth_np)
                 self.timings["track"].append(time.perf_counter() - t0)
+                if self.tracking_vis is not None:
+                    self.tracking_vis.vis(
+                        idx, self.topts.iters - 1, depth_np, color_np,
+                        self.estimate_c2w[idx],
+                        r_query_map=self.cur_r_query)
 
             if idx % self.every_frame == 0 or idx == self.n_img - 1:
                 if self.verbose:
@@ -1153,6 +1176,12 @@ class LoopySLAM:
                 # the next tracking call
                 _ = np.asarray(self.map_state.feat[0, 0])
                 self.timings["map"].append(time.perf_counter() - t0)
+                if self.mapping_vis is not None:
+                    self.mapping_vis.vis(
+                        idx, self.cfg["mapping"]["iters"] - 1,
+                        depth_np, color_np,
+                        self.estimate_c2w[idx],
+                        r_query_map=self.cur_r_query)
                 if (idx == self.n_img - 1 and self.cfg["mapping"]["color_refine"]
                         and not stop):
                     if self.verbose:
@@ -1249,17 +1278,18 @@ class LoopySLAM:
                 # evaluate against the gt surface actually observed by the
                 # trajectory (the reference evaluates culled gt meshes,
                 # src/tools/cull_mesh.py)
-                gv, gf, _ = cull_mesh(gt_mesh[0], gt_mesh[1],
-                                      [self.gt_c2w[i] for i in
-                                       range(0, self.n_img, every)],
-                                      {"H": self.H, "W": self.W,
-                                       "fx": self.fx, "fy": self.fy,
-                                       "cx": self.cx, "cy": self.cy})
+                gv, gf, _, unseen = cull_mesh(
+                    gt_mesh[0], gt_mesh[1],
+                    [self.gt_c2w[i] for i in range(0, self.n_img, every)],
+                    {"H": self.H, "W": self.W,
+                     "fx": self.fx, "fy": self.fy,
+                     "cx": self.cx, "cy": self.cy},
+                    return_unseen=True)
                 gt_mesh = (gv, gf)
                 recon_stats = calc_3d_metric((verts, faces), gt_mesh)
                 recon_stats.update(calc_2d_metric(
-                    (verts, faces), gt_mesh, cam,
-                    self.estimate_c2w[:self.n_img], n_views=n_2d_views))
+                    (verts, faces), gt_mesh, n_views=n_2d_views,
+                    pc_unseen=unseen))
                 if self.verbose:
                     print("reconstruction metrics:", recon_stats)
         return {**render_stats, **recon_stats}

@@ -30,7 +30,9 @@ class Visualizer:
     def vis(self, idx: int, iter_: int, gt_depth, gt_color, c2w,
             r_query_map=None, freq_override: bool = False,
             save_rendered_image: bool = False):
-        if not freq_override and idx % self.freq != 0:
+        # gating parity with reference Visualizer.vis:86-91 (idx > 0 and
+        # idx % freq == 0, or explicit override)
+        if not freq_override and (idx == 0 or idx % self.freq != 0):
             return None
         depth, color = self.vis_value_only(c2w, gt_depth,
                                            r_query_map=r_query_map)

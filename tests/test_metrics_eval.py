@@ -86,3 +86,73 @@ def test_cull_mesh_removes_unseen():
     v, f, _ = cull_mesh(allv, allf, [np.eye(4)], cam)
     assert len(f) == len(faces)
     assert (v[:, 2] < 0).all()
+    # return_unseen includes every vertex of the hidden square (plus any
+    # front-square vertices falling just outside the frustum edge)
+    v, f, _, unseen = cull_mesh(allv, allf, [np.eye(4)], cam,
+                                return_unseen=True)
+    assert (unseen[:, 2] > 0).sum() == len(v2)
+
+
+def _cube_room_mesh(half=2.0, n=6):
+    """Closed axis-aligned cube room (triangulated, watertight)."""
+    grids = []
+    faces = []
+    verts = []
+
+    def add_face(axis, sign):
+        base = len(verts)
+        xs = np.linspace(-half, half, n)
+        a, b = np.meshgrid(xs, xs, indexing="ij")
+        flat = np.full(n * n, sign * half)
+        cols = [None, None, None]
+        cols[axis] = flat
+        others = [i for i in range(3) if i != axis]
+        cols[others[0]] = a.ravel()
+        cols[others[1]] = b.ravel()
+        verts.extend(np.stack(cols, -1))
+        for i in range(n - 1):
+            for j in range(n - 1):
+                q = base + i * n + j
+                faces.append([q, q + 1, q + n])
+                faces.append([q + 1, q + n + 1, q + n])
+
+    for axis in range(3):
+        for sign in (-1, 1):
+            add_face(axis, sign)
+    return np.asarray(verts, np.float64), np.asarray(faces)
+
+
+def test_raster_mesh_depth_matches_analytic():
+    from loopy_slam_tpu.native.build import raster_mesh_depth
+    verts, faces = _unit_square_mesh(-2.0, n=5)
+    d = raster_mesh_depth(verts, faces, np.eye(4), 60, 80,
+                          60.0, 60.0, 39.5, 29.5)
+    if d is None:  # toolchain unavailable
+        return
+    center = d[20:40, 30:50]
+    assert (center > 0).all()
+    np.testing.assert_allclose(center, 2.0, atol=1e-4)
+
+
+def test_calc_2d_metric_room():
+    from loopy_slam_tpu.tools.eval_recon import calc_2d_metric
+    gt = _cube_room_mesh(2.0)
+    # identical meshes -> ~0 depth L1
+    same = calc_2d_metric(gt, gt, n_views=6, align=False)
+    assert same["depth l1"] < 0.2, same  # cm
+    # reconstruction uniformly shrunk by 10 cm -> clearly nonzero
+    rec = (gt[0] * 0.95, gt[1])
+    off = calc_2d_metric(rec, gt, n_views=6, align=False)
+    assert off["depth l1"] > 1.0, off
+
+
+def test_calc_2d_metric_unseen_rejection():
+    """Views are resampled until no unseen-region point projects into
+    the frustum (reference eval_recon.py:166-185)."""
+    from loopy_slam_tpu.tools.eval_recon import check_proj, viewmatrix
+    c2w = viewmatrix(np.array([1.0, 0, 0]), np.array([0.0, 0, -1.0]),
+                     np.zeros(3))
+    ahead = np.array([[2.0, 0.0, 0.0]])
+    behind = np.array([[-2.0, 0.0, 0.0]])
+    assert check_proj(ahead, 500, 500, 300, 300, 249.5, 249.5, c2w)
+    assert not check_proj(behind, 500, 500, 300, 300, 249.5, 249.5, c2w)

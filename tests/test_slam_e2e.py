@@ -16,6 +16,10 @@ def test_e2e_synthetic(tmp_path):
     cfg["data"]["output"] = str(tmp_path / "out")
     cfg["data"]["n_frames"] = 9
     cfg["mapping"]["color_refine"] = False
+    # exercise the periodic residual-panel dumps (reference
+    # Visualizer.vis gating, Tracker.py:385-390 / Mapper.py:766)
+    cfg["tracking"]["vis_freq"] = 5
+    cfg["mapping"]["vis_freq"] = 4
     slam = LoopySLAM(cfg, output=cfg["data"]["output"])
     result = slam.run()
 
@@ -34,6 +38,13 @@ def test_e2e_synthetic(tmp_path):
                                        "final_point_cloud.ply"))
     ckpts = os.listdir(os.path.join(cfg["data"]["output"], "ckpts"))
     assert len(ckpts) == 1
+
+    # residual panels fired at vis_freq boundaries (idx>0, idx%freq==0)
+    tvis = os.listdir(os.path.join(cfg["data"]["output"], "tracking_vis"))
+    mvis = os.listdir(os.path.join(cfg["data"]["output"], "mapping_vis"))
+    assert any(f.startswith("00005_") for f in tvis), tvis
+    assert any(f.startswith("00004_") for f in mvis), mvis
+    assert any(f.startswith("00008_") for f in mvis), mvis
 
     # eval tool consumes the checkpoint
     from loopy_slam_tpu.tools.eval_ate import evaluate_from_output
