@@ -152,7 +152,10 @@ DEFAULTS: Dict[str, Any] = {
     "data": {"dim": 3, "input_folder": "", "output": "output/run"},
     # multi-chip execution (TPU-native addition): rays data-parallel over a
     # device mesh with psummed gradients. 0/1 = single device.
-    "parallel": {"n_devices": 0},
+    # rays data-parallel over a replicated map (n_devices), or the map
+    # itself cell-sharded across the mesh with ring-collective k-NN
+    # (map_shard; capacity scaling — parallel/map_shard.py)
+    "parallel": {"n_devices": 0, "map_shard": False},
     "meshing": {"eval_rec": True, "mesh_freq": -1},
     "pointcloud": {
         "nn_num": 8,

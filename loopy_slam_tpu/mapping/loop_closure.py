@@ -25,6 +25,7 @@ node poses are applied directly to segment points and cameras.
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ProcessPoolExecutor
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -75,11 +76,9 @@ class LoopClosureConfig:
         )
 
 
-def _register_one(args):
-    s, t, s_seg, t_seg, method, global_iter, conf, seed = args
-    return reg.register_point_cloud_pair(
-        s, t, s_seg, t_seg, method, global_iter, conf,
-        rng=np.random.default_rng(seed))
+# worker lives in a jax-free module so spawned pool interpreters import
+# only numpy/scipy (see _reg_worker.py)
+from ._reg_worker import register_one as _register_one  # noqa: E402
 
 
 class LoopCloser:
@@ -143,7 +142,12 @@ class LoopCloser:
                  cfg.global_iter, cfg.conf, 1000 + 13 * s + t)
                 for (s, t) in pairs]
         tic = time.perf_counter()
-        if cfg.n_jobs > 1 and len(jobs) > 2:
+        # pool only pays when real parallelism exists: each spawned worker
+        # costs a full interpreter + module imports (~1 min CPU), so on a
+        # 1-CPU host an 8-way pool turns a seconds-long registration batch
+        # into a >10-minute stall. Cap by available cores and job count.
+        n_workers = min(cfg.n_jobs, os.cpu_count() or 1, len(jobs))
+        if n_workers > 1 and len(jobs) > 2:
             # spawn context: fork inside a JAX-threaded process can deadlock.
             # Children must NOT claim the (single-client) TPU: scrub the
             # accelerator env vars for the duration of the pool — spawned
@@ -159,7 +163,7 @@ class LoopCloser:
             _os.environ["JAX_PLATFORMS"] = "cpu"
             try:
                 with ProcessPoolExecutor(
-                        max_workers=cfg.n_jobs,
+                        max_workers=n_workers,
                         mp_context=_mp.get_context("spawn")) as ex:
                     results = list(ex.map(_register_one, jobs))
             except Exception as e:
@@ -225,15 +229,30 @@ class LoopCloser:
         # ---- pose-graph solve over correction nodes -------------------
         import jax.numpy as jnp
 
-        nodes = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        # pad node/edge counts to the next power of two so the jitted LM
+        # solve compiles once per size class instead of at EVERY segment
+        # boundary (N grows by one each close; each new (N, E) shape was
+        # a full recompile). Dummy nodes are untouched by LM (their H rows
+        # are zero; lam*I keeps the solve nonsingular, delta=0); dummy
+        # edges are 0->0 self-loops with zero information (zero residual,
+        # zero weight in H and b).
+        n_e = len(accepted)
+        n_pad = 1 << (n - 1).bit_length()
+        e_pad = 1 << (n_e - 1).bit_length()
+        nodes = np.tile(np.eye(4, dtype=np.float32), (n_pad, 1, 1))
         # edge convention: o3d edge (s, t, T) constrains X_s = X_t @ T,
         # i.e. our residual edge i=t -> j=s with Z = T
-        ei = np.array([e["t"] for e in accepted], np.int32)
-        ej = np.array([e["s"] for e in accepted], np.int32)
-        Z = np.stack([e["T"] for e in accepted]).astype(np.float32)
-        info = np.stack([reg.info_o3d_to_rho_phi(e["info"])
-                         for e in accepted]).astype(np.float32)
-        certain = np.array([e["odom"] for e in accepted])
+        ei = np.zeros(e_pad, np.int32)
+        ej = np.zeros(e_pad, np.int32)
+        Z = np.tile(np.eye(4, dtype=np.float32), (e_pad, 1, 1))
+        info = np.zeros((e_pad, 6, 6), np.float32)
+        certain = np.ones(e_pad, bool)
+        ei[:n_e] = [e["t"] for e in accepted]
+        ej[:n_e] = [e["s"] for e in accepted]
+        Z[:n_e] = np.stack([e["T"] for e in accepted]).astype(np.float32)
+        info[:n_e] = np.stack([reg.info_o3d_to_rho_phi(e["info"])
+                               for e in accepted]).astype(np.float32)
+        certain[:n_e] = [e["odom"] for e in accepted]
         g = PoseGraph(jnp.asarray(nodes), jnp.asarray(ei), jnp.asarray(ej),
                       jnp.asarray(Z), jnp.asarray(info),
                       jnp.asarray(certain))
@@ -241,7 +260,7 @@ class LoopCloser:
         solved, weights = optimize(g, preference_loop_closure=cfg.lc_pref,
                                    max_iters=40)
         self.pgo_times.append(time.perf_counter() - tic)
-        solved = np.asarray(solved)
+        solved = np.asarray(solved)[:n]  # drop padding nodes
 
         # sanity gate: a diverged solve must never be applied — corrections
         # are small rigid nudges, not teleports

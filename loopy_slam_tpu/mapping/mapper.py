@@ -68,6 +68,29 @@ class MapperOptions(NamedTuple):
 # Point insertion (jitted wrappers around point_cloud.add_points)
 # ---------------------------------------------------------------------------
 
+def sample_insert_candidates(key, gt_color, gt_depth, cur_c2w, prev_c2w,
+                             opts: MapperOptions, n_rays: int,
+                             overlap: Optional[bool] = None,
+                             dynamic_r_add=None):
+    """Sample n_rays pixels and apply the previous-frustum overlap split
+    (filter_point_before_add, Mapper.py:137-163,440-461). Returns the
+    candidate tuple (rays_o, rays_d, d, c, valid, dra) consumed by
+    add_points — shared by the single-chip wrapper below and the
+    map-sharded insertion (parallel/map_shard.py)."""
+    rays_o, rays_d, d, c, valid, ii, jj = sample_rays(
+        key, 0, opts.H, 0, opts.W, n_rays, cur_c2w, gt_depth, gt_color,
+        opts.fx, opts.fy, opts.cx, opts.cy)
+    if overlap is not None:
+        pts = rays_o + rays_d * d[:, None]
+        uv, z = project_points(pts, invert_c2w(prev_c2w),
+                               opts.fx, opts.fy, opts.cx, opts.cy)
+        inside = ((uv[:, 0] > 0) & (uv[:, 0] < opts.W)
+                  & (uv[:, 1] > 0) & (uv[:, 1] < opts.H))
+        valid = valid & (inside if overlap else ~inside)
+    dra = None if dynamic_r_add is None else dynamic_r_add[jj, ii]
+    return rays_o, rays_d, d, c, valid, dra
+
+
 @partial(jax.jit, static_argnames=("mopts", "opts", "n_rays", "overlap"))
 def add_points_from_frame(state: MapState, gt_color, gt_depth, cur_c2w,
                           prev_c2w, key, mopts: MapOptions,
@@ -82,27 +105,18 @@ def add_points_from_frame(state: MapState, gt_color, gt_depth, cur_c2w,
     (filter_point_before_add, Mapper.py:137-163,440-461)
     """
     ks, ka = jax.random.split(key)
-    rays_o, rays_d, d, c, valid, ii, jj = sample_rays(
-        ks, 0, opts.H, 0, opts.W, n_rays, cur_c2w, gt_depth, gt_color,
-        opts.fx, opts.fy, opts.cx, opts.cy)
-    if overlap is not None:
-        pts = rays_o + rays_d * d[:, None]
-        uv, z = project_points(pts, invert_c2w(prev_c2w),
-                               opts.fx, opts.fy, opts.cx, opts.cy)
-        inside = ((uv[:, 0] > 0) & (uv[:, 0] < opts.W)
-                  & (uv[:, 1] > 0) & (uv[:, 1] < opts.H))
-        valid = valid & (inside if overlap else ~inside)
-    dra = None if dynamic_r_add is None else dynamic_r_add[jj, ii]
+    rays_o, rays_d, d, c, valid, dra = sample_insert_candidates(
+        ks, gt_color, gt_depth, cur_c2w, prev_c2w, opts, n_rays,
+        overlap, dynamic_r_add)
     return add_points(state, mopts, ka, rays_o, rays_d, d, c, valid,
                       dynamic_r_add=dra)
 
 
-@partial(jax.jit, static_argnames=("mopts", "opts"))
-def add_points_at_pixels(state: MapState, gt_color, gt_depth, cur_c2w,
-                         flat_idx, key, mopts: MapOptions,
-                         opts: MapperOptions, dynamic_r_add=None):
-    """Insert points at pre-selected pixels (color-gradient picks,
-    Mapper.py:473-482); uses radius_min gating (is_pts_grad)."""
+def pixel_insert_candidates(flat_idx, gt_color, gt_depth, cur_c2w,
+                            opts: MapperOptions, dynamic_r_add=None):
+    """Candidate tuple for pre-selected pixels (color-gradient picks,
+    Mapper.py:473-482). Shared by the single-chip wrapper below and the
+    map-sharded insertion."""
     jj = (flat_idx // opts.W).astype(jnp.int32)
     ii = (flat_idx % opts.W).astype(jnp.int32)
     rays_o, rays_d = rays_from_uv(ii.astype(jnp.float32),
@@ -111,8 +125,25 @@ def add_points_at_pixels(state: MapState, gt_color, gt_depth, cur_c2w,
     d = gt_depth[jj, ii]
     c = gt_color[jj, ii]
     dra = None if dynamic_r_add is None else dynamic_r_add[jj, ii]
-    return add_points(state, mopts, key, rays_o, rays_d, d, c, d > 0,
+    return rays_o, rays_d, d, c, d > 0, dra
+
+
+@partial(jax.jit, static_argnames=("mopts", "opts"))
+def add_points_at_pixels(state: MapState, gt_color, gt_depth, cur_c2w,
+                         flat_idx, key, mopts: MapOptions,
+                         opts: MapperOptions, dynamic_r_add=None):
+    """Insert points at pre-selected pixels (color-gradient picks,
+    Mapper.py:473-482); uses radius_min gating (is_pts_grad)."""
+    rays_o, rays_d, d, c, valid, dra = pixel_insert_candidates(
+        flat_idx, gt_color, gt_depth, cur_c2w, opts, dynamic_r_add)
+    return add_points(state, mopts, key, rays_o, rays_d, d, c, valid,
                       dynamic_r_add=dra, is_pts_grad=True)
+
+
+sample_insert_candidates_jit = partial(jax.jit, static_argnames=(
+    "opts", "n_rays", "overlap"))(sample_insert_candidates)
+pixel_insert_candidates_jit = partial(jax.jit, static_argnames=(
+    "opts",))(pixel_insert_candidates)
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -142,7 +173,8 @@ def frustum_feature_mask(map_pos, count, cur_c2w, gt_depth,
 
 def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
               kf_c2w, kf_rq, key, stage, opts: MapperOptions,
-              ropts: RenderOptions, pix_per_frame: int, kf_exposure=None):
+              ropts: RenderOptions, pix_per_frame: int, kf_exposure=None,
+              eval_fn_builder=None):
     """One mapping iteration's loss over pix_per_frame rays from each of the
     F stacked keyframes (last = current frame).
 
@@ -182,9 +214,11 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
     mx = masked_max(d, valid, fill=0.0)
     inside = valid & (d <= jnp.minimum(10.0 * med, 1.2 * mx))
 
+    eval_fn = (None if eval_fn_builder is None
+               else eval_fn_builder(params, feats))
     depth, _var, color, valid_ray = render_batch_ray(
         params, map_pos, grid, feats, ro, rd, d, inside, kr,
-        ropts, stage, r_query=rq)
+        ropts, stage, r_query=rq, eval_fn=eval_fn)
 
     m = (d > 0) & valid_ray & jnp.isfinite(depth) & inside
     geo_loss = jnp.sum(jnp.where(m, jnp.abs(d - depth), 0.0))
@@ -214,11 +248,17 @@ def _optimize_map_impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
                        opts: MapperOptions, ropts: RenderOptions,
                        pix_per_frame: int, use_dynamic_radius: bool = False,
                        kf_exposure=None, ba_row_mask=None, ba_lr=None,
-                       ba_window=None, iter_offset=None, psum_axis=None):
+                       ba_window=None, iter_offset=None, psum_axis=None,
+                       eval_fn_builder=None, feat_grad_local=False):
     """Body shared by the single-chip jit (psum_axis=None) and the
-    shard_map'ed multi-chip variant (psum_axis='rays': every device samples
-    its own pix_per_frame rays, gradients/losses are psummed over ICI, and
-    the replicated Adam update is identical on all devices)."""
+    shard_map'ed multi-chip variants (psum_axis='rays'/'shard': every device
+    samples its own pix_per_frame rays, gradients/losses are psummed over
+    ICI, and the replicated Adam update is identical on all devices).
+
+    eval_fn_builder((params, feats) -> eval_fn) reroutes the sample decode
+    (map-sharded ring k-NN, parallel/map_shard.py); feat_grad_local=True
+    skips the psum on the feature gradient — with a sharded map each
+    shard's ring-fetch VJP already holds exactly its own rows' gradient."""
     if not use_dynamic_radius:
         kf_rq = None
     fm = feat_mask[:, None].astype(jnp.float32)
@@ -248,9 +288,15 @@ def _optimize_map_impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
             (loss, aux), g = grad_fn(trainable, None, map_pos, grid,
                                      kf_color, kf_depth, kf_c2w, kf_rq,
                                      kiter, stage, opts, ropts,
-                                     pix_per_frame, kf_exposure)
+                                     pix_per_frame, kf_exposure,
+                                     eval_fn_builder)
             if psum_axis is not None:
-                g = jax.lax.psum(g, psum_axis)
+                if feat_grad_local:
+                    gf = g.pop("feat")
+                    g = jax.lax.psum(g, psum_axis)
+                    g["feat"] = gf
+                else:
+                    g = jax.lax.psum(g, psum_axis)
                 aux = jax.lax.psum(aux, psum_axis)
             g = masked_grads(g)
             c = trainable["feat"].shape[1] // 2

@@ -18,6 +18,7 @@ export and submap registration) is accumulated in a parallel buffer.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -185,6 +186,26 @@ def add_points(state: MapState, opts: MapOptions, key,
                       jnp.repeat(gate, opts.N_add))
     return MapState(pos=pos, feat=feat, count=count, grid=grid,
                     in_pos=in_pos, in_rgb=in_rgb, in_count=in_count), n_loc
+
+
+@partial(jax.jit, static_argnames=("input_capacity",),
+         donate_argnames=("in_pos", "in_rgb"))
+def input_cloud_insert(in_pos, in_rgb, in_count, rays_o, rays_d, d, c,
+                       gate, input_capacity: int):
+    """Append one sensor-space point per gated candidate location to the
+    input cloud (the add_points in_pos/in_rgb update, factored out for the
+    map-sharded path where the neural points live on the mesh but the
+    input cloud stays single-device)."""
+    pts_gt = rays_o + rays_d * d[:, None]
+    rank = jnp.cumsum(gate.astype(jnp.int32)) - 1
+    in_rank = in_count + rank
+    in_dest = jnp.where(gate & (in_rank < input_capacity), in_rank,
+                        input_capacity)
+    in_pos = in_pos.at[in_dest].set(pts_gt, mode="drop")
+    in_rgb = in_rgb.at[in_dest].set(c, mode="drop")
+    n_loc = jnp.sum(gate).astype(jnp.int32)
+    in_count = jnp.minimum(in_count + n_loc, input_capacity)
+    return in_pos, in_rgb, in_count
 
 
 def sample_near_pcl_z_vals(state: MapState, opts: MapOptions,

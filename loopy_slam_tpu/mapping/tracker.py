@@ -78,7 +78,8 @@ def _lr_vector(opts: TrackOptions) -> jnp.ndarray:
 
 def tracking_loss(opt_vars, params, map_pos, grid, feats,
                   gt_color, gt_depth, key, opts: TrackOptions,
-                  ropts: RenderOptions, sel_i=None, sel_j=None, r_query=None):
+                  ropts: RenderOptions, sel_i=None, sel_j=None, r_query=None,
+                  eval_fn_builder=None):
     """Sample pixels, render, compute the tracking loss.
 
     opt_vars: {"cam": pose 7-vector} plus, with encode_exposure,
@@ -117,10 +118,12 @@ def tracking_loss(opt_vars, params, map_pos, grid, feats,
     rq = None if r_query is None else r_query[jj, ii]
     inside = inside_mask_from_depth(d, valid) & valid
 
+    eval_fn = (None if eval_fn_builder is None
+               else eval_fn_builder(params, feats))
     depth, var, color, _ = render_batch_ray(
         params, map_pos, grid, feats, rays_o, rays_d, d,
         inside, kr, ropts, "color", r_query=rq,
-        exposure_feat=exposure_feat)
+        exposure_feat=exposure_feat, eval_fn=eval_fn)
 
     var = jax.lax.stop_gradient(var)
     nan_mask = jnp.isfinite(depth) & jnp.isfinite(var)
@@ -138,14 +141,20 @@ def tracking_loss(opt_vars, params, map_pos, grid, feats,
     return loss, (geo, col, jnp.sum(mask))
 
 
-@partial(jax.jit, static_argnames=("opts", "ropts", "use_selected"))
-def track_frame(params, map_pos, grid, feats,
-                gt_color, gt_depth, cam7_init, key,
-                opts: TrackOptions, ropts: RenderOptions,
-                sel_i=None, sel_j=None, r_query=None, use_selected=False,
-                exposure_feat=None):
+def _track_frame_impl(params, map_pos, grid, feats,
+                      gt_color, gt_depth, cam7_init, key,
+                      opts: TrackOptions, ropts: RenderOptions,
+                      sel_i=None, sel_j=None, r_query=None,
+                      use_selected=False, exposure_feat=None,
+                      psum_axis=None, eval_fn_builder=None):
     """Optimize the camera pose (and exposure, if enabled) for one frame.
-    Returns (best_cam7, first_loss, best_loss, exposure_feat', exp_mlp')."""
+    Returns (best_cam7, first_loss, best_loss, exposure_feat', exp_mlp').
+
+    psum_axis: run inside shard_map with pixels data-parallel — each device
+    samples its own opts.pixels rays (keys decorrelated by axis index),
+    loss/gradients are psummed so the replicated Adam update is identical
+    everywhere. eval_fn_builder reroutes the sample decode to the
+    map-sharded ring k-NN (parallel/map_shard.py)."""
     lr_cam = _lr_vector(opts)
     grad_fn = jax.value_and_grad(tracking_loss, has_aux=True)
     si = sel_i if use_selected else None
@@ -165,9 +174,16 @@ def track_frame(params, map_pos, grid, feats,
     def body(it, carry):
         opt_vars, st, best_loss, best_cam, first_loss, k = carry
         k, kiter = jax.random.split(k)
+        if psum_axis is not None:
+            kiter = jax.random.fold_in(kiter,
+                                       jax.lax.axis_index(psum_axis))
         (loss, _aux), g = grad_fn(opt_vars, params, map_pos, grid, feats,
                                   gt_color, gt_depth, kiter,
-                                  opts, ropts, si, sj, r_query)
+                                  opts, ropts, si, sj, r_query,
+                                  eval_fn_builder)
+        if psum_axis is not None:
+            g = jax.lax.psum(g, psum_axis)
+            loss = jax.lax.psum(loss, psum_axis)
         opt_vars, st = adam.update(opt_vars, g, st, lr_tree)
         better = loss < best_loss
         best_loss = jnp.where(better, loss, best_loss)
@@ -188,3 +204,7 @@ def track_frame(params, map_pos, grid, feats,
 
     best_c2w44 = c2w_to_4x4(c2w_from_tensor(best_cam))
     return best_cam, best_c2w44, first_loss, best_loss, ef_out, mlp_out
+
+
+track_frame = partial(jax.jit, static_argnames=(
+    "opts", "ropts", "use_selected"))(_track_frame_impl)

@@ -225,7 +225,7 @@ def render_batch_ray(params, map_pos, grid, feats,
                      rays_o, rays_d, gt_depth, ray_valid, key,
                      opts: RenderOptions, stage: str,
                      r_query=None, exposure_feat=None,
-                     z_vals_override=None):
+                     z_vals_override=None, eval_fn=None):
     """Render a fixed-size batch of rays.
 
     Args mirror reference Renderer.render_batch_ray (Renderer.py:71-201),
@@ -233,6 +233,13 @@ def render_batch_ray(params, map_pos, grid, feats,
     compaction. `r_query` is a scalar or per-ray radius (dynamic radius).
     `z_vals_override` lets the caller substitute sample-near-pcl z-vals for
     zero-depth rays.
+
+    `eval_fn(pts, key, stage, views_d, rq, exposure_feat)` overrides the
+    sample-decode step — the map-sharded path (parallel/map_shard.py)
+    injects a ring-collective k-NN + fetch here while everything around it
+    (z-vals, compositing, validity) stays the single-chip code. When set,
+    map_pos/grid/feats may be the LOCAL shard's arrays and are only touched
+    by the sample_near_pcl probe path (unsupported sharded; must be off).
 
     Returns (depth, depth_var, color, valid_ray_mask) each (R, ...).
     """
@@ -242,6 +249,9 @@ def render_batch_ray(params, map_pos, grid, feats,
                             opts.far_end_surface, opts.near_end)
     mask_rays_near_pcl = jnp.ones((R,), bool)
     if opts.sample_near_pcl and z_vals_override is None:
+        assert eval_fn is None, (
+            "sample_near_pcl probes the local grid; unsupported with an "
+            "injected eval_fn (map-sharded path) — disable one of them")
         # zero-depth rays sample where the point cloud actually lies
         # (Renderer.py:151-160 + neural_point.sample_near_pcl); rays with
         # <2 occupied probe depths are flagged invalid
@@ -267,9 +277,13 @@ def render_batch_ray(params, map_pos, grid, feats,
     if r_query is not None:
         rq = jnp.repeat(jnp.asarray(r_query).reshape(-1), S, axis=0)
 
-    occ, rgb, has_neighbors = eval_points(
-        params, map_pos, grid, feats, pts, key, opts, stage,
-        views_d=views_d, r_query=rq, exposure_feat=exposure_feat)
+    if eval_fn is None:
+        occ, rgb, has_neighbors = eval_points(
+            params, map_pos, grid, feats, pts, key, opts, stage,
+            views_d=views_d, r_query=rq, exposure_feat=exposure_feat)
+    else:
+        occ, rgb, has_neighbors = eval_fn(pts, key, stage, views_d, rq,
+                                          exposure_feat)
 
     valid_ray = (
         jnp.sum(has_neighbors.reshape(R, S), axis=-1) >= (S // 2 + 1)

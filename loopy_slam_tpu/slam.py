@@ -34,7 +34,8 @@ from .mapping import tracker as tracker_mod
 from .mapping import place_recognition as pr
 from .mapping.fragments import FragmentManager
 from .mapping.loop_closure import LoopCloser, LoopClosureConfig
-from .mapping.point_cloud import MapOptions, MapState, init_map, valid_mask
+from .mapping.point_cloud import (MapOptions, MapState, init_map,
+                                  input_cloud_insert, valid_mask)
 from .ops import knn, tsdf
 from .models.decoder import init_decoders, trainable_mask
 from .models.renderer import RenderOptions, render_batch_ray
@@ -228,6 +229,12 @@ class LoopySLAM:
         self._prev_frame = None  # (color, depth) for the visual odometer
         self.exposure_feat = jnp.zeros((cfg["model"]["exposure_dim"],))
         self.kf_exposure: Dict[int, np.ndarray] = {}
+        # per-mapped-frame exposure latents + on-disk color-decoder
+        # snapshots so final_eval can re-render each frame under the
+        # decoder/exposure state it was mapped with (reference
+        # Mapper.py:798-802 exposure_feat_all + ckpts/color_decoder/*.pt,
+        # consumed at Mapper.py:1095-1114)
+        self.mapped_exposure: Dict[int, np.ndarray] = {}
         self.timings: Dict[str, List[float]] = {"track": [], "map": []}
 
         # submaps + loop closure
@@ -247,11 +254,46 @@ class LoopySLAM:
         n_dev = int(cfg.get("parallel", {}).get("n_devices", 0))
         self.mesh = None
         self._sharded_opt = {}
-        if n_dev > 1 and len(jax.devices()) >= n_dev:
+        map_shard = bool(cfg.get("parallel", {}).get("map_shard", False))
+        if n_dev > 1 and not map_shard and len(jax.devices()) >= n_dev:
             from .parallel.sharded import make_mesh
             self.mesh = make_mesh(n_dev)
             if self.verbose:
                 print(f"mapping data-parallel over {n_dev} devices")
+
+        # map sharding: the point buffer itself cell-sharded across the
+        # mesh with ring-collective k-NN (capacity scaling beyond one
+        # chip's HBM; parallel/map_shard.py). self.map_state then becomes
+        # a lazily-refreshed single-device SNAPSHOT for cold paths
+        # (render/eval/segment-close/checkpoints) while the hot paths run
+        # on self._smap.
+        self.shard_mesh = None
+        self._smap = None
+        self._smap_dirty = False
+        self._shard_progs: Dict = {}
+        if map_shard:
+            from .parallel import map_shard as msh
+            n_sh = n_dev if n_dev > 1 else len(jax.devices())
+            n_sh = 1 << (n_sh.bit_length() - 1)  # power of two
+            if n_sh > 1:
+                if cfg["rendering"]["sample_near_pcl"]:
+                    raise ValueError(
+                        "parallel.map_shard requires "
+                        "rendering.sample_near_pcl: False (the near-pcl "
+                        "probe reads the local grid only)")
+                if cfg["mapping"].get("BA", False):
+                    raise ValueError("parallel.map_shard does not support "
+                                     "bundle adjustment yet")
+                self.shard_mesh = msh.make_mesh(n_sh)
+                cap_l = max(min(self.initial_capacity,
+                                self.mopts_map.capacity) // n_sh, 2048)
+                self._smap = msh.init_sharded_map(
+                    self.shard_mesh, cap_l, self.mopts_map.c_dim,
+                    self.mopts_map.cell_size, self.mopts_map.table_size,
+                    self.mopts_map.max_per_cell)
+                if self.verbose:
+                    print(f"map cell-sharded over {n_sh} devices "
+                          f"({cap_l} rows/shard)")
 
         from .utils.telemetry import WandbLogger
         self.wandb = WandbLogger(cfg, name=os.path.basename(self.output))
@@ -371,14 +413,33 @@ class LoopySLAM:
                 use_selected = True
 
         kt = self._next_key()
-        s = self.map_state
-        (best_cam, best_c2w44, first_loss, best_loss, ef,
-         exp_mlp) = tracker_mod.track_frame(
-            self.params, s.pos, s.grid, s.feat, color, depth, cam7, kt,
-            self.topts, self.ropts_tracker,
-            sel_i=sel_i, sel_j=sel_j, r_query=self.cur_r_query,
-            use_selected=use_selected,
-            exposure_feat=self.exposure_feat if self.encode_exposure else None)
+        if self.shard_mesh is not None:
+            has_rq = self.cur_r_query is not None
+            step = self._shard_prog(
+                ("track", use_selected, has_rq),
+                lambda: self._msh().make_map_shard_track(
+                    self.shard_mesh, self.topts, self.ropts_tracker,
+                    use_selected=use_selected, has_rq=has_rq,
+                    has_exposure=self.encode_exposure))
+            args = [self.params, self._smap, color, depth, cam7, kt]
+            if use_selected:
+                args += [sel_i, sel_j]
+            if has_rq:
+                args += [self.cur_r_query]
+            if self.encode_exposure:
+                args += [self.exposure_feat]
+            (best_cam, best_c2w44, first_loss, best_loss, ef,
+             exp_mlp) = step(*args)
+        else:
+            s = self.map_state
+            (best_cam, best_c2w44, first_loss, best_loss, ef,
+             exp_mlp) = tracker_mod.track_frame(
+                self.params, s.pos, s.grid, s.feat, color, depth, cam7, kt,
+                self.topts, self.ropts_tracker,
+                sel_i=sel_i, sel_j=sel_j, r_query=self.cur_r_query,
+                use_selected=use_selected,
+                exposure_feat=(self.exposure_feat if self.encode_exposure
+                               else None))
         if self.encode_exposure and ef is not None:
             # tracker co-optimizes the exposure latent and MLP
             # (Tracker.py:329-344); both are shared with the mapper
@@ -396,8 +457,115 @@ class LoopySLAM:
         return np.asarray(best_c2w44)  # single fetch; 4x4 built in-program
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # Map-sharding facade (parallel.map_shard): hot paths mutate
+    # self._smap; cold paths read self.map_state, refreshed here.
+    # ------------------------------------------------------------------
+    def _msh(self):
+        from .parallel import map_shard as msh
+        return msh
+
+    def _shard_prog(self, key, builder):
+        """Cache compiled sharded programs by a hashable key."""
+        if key not in self._shard_progs:
+            self._shard_progs[key] = builder()
+        return self._shard_progs[key]
+
+    def _sync_eval_state(self):
+        """Refresh the single-device snapshot of the sharded map (pos /
+        feat / count / grid of self.map_state) that render/eval/segment
+        close/checkpoint code reads. No-op when in sync or not sharded."""
+        if self.shard_mesh is None or not self._smap_dirty:
+            return
+        pos_np, feat_np, _ = self._msh().gather_host(self._smap)
+        n = len(pos_np)
+        cap = int(2 ** np.ceil(np.log2(max(n + 1024, 2048))))
+        pos = jnp.zeros((cap, 3), jnp.float32).at[:n].set(
+            jnp.asarray(pos_np))
+        feat = jnp.zeros((cap, feat_np.shape[1] if n else
+                          2 * self.mopts_map.c_dim),
+                         jnp.float32).at[:n].set(jnp.asarray(feat_np))
+        grid = knn.build(pos, jnp.arange(cap) < n, self.mopts_map.cell_size,
+                         self.mopts_map.table_size,
+                         self.mopts_map.max_per_cell)
+        self.map_state = self.map_state._replace(
+            pos=pos, feat=feat, count=jnp.asarray(n, jnp.int32), grid=grid)
+        self._count_host = n
+        self._smap_dirty = False
+
+    def _scatter_to_shards(self, pos_np, feat_np, slack: int = 24000):
+        """Replace the sharded map with host points (segment open, merge,
+        restore). Per-shard capacity sized for hash imbalance + growth."""
+        n_sh = self.shard_mesh.devices.size
+        msh = self._msh()
+        counts = np.bincount(
+            msh.owner_of_points_np(pos_np, self.mopts_map.cell_size, n_sh),
+            minlength=n_sh) if len(pos_np) else np.zeros(n_sh, int)
+        need = int(counts.max()) + max(slack // n_sh, 2048)
+        cap_l = int(2 ** np.ceil(np.log2(max(need, 2048))))
+        self._smap = msh.scatter_from_host(
+            self.shard_mesh, pos_np, feat_np, cap_l, self.mopts_map)
+
+    def _insert_candidates_sharded(self, color, depth, cur_c2w_j, prev_j,
+                                   key, n_rays, overlap=None,
+                                   flat_idx=None):
+        """Sharded surface-point insertion: prepare the candidate batch
+        (replicated), gate globally with a ring pass, insert per-owner
+        (parallel/map_shard.py), and append gated locations to the
+        single-device input cloud. Returns the n_locations device scalar.
+        flat_idx switches to the color-gradient pixel picks (radius_min
+        gating)."""
+        ks, ka = jax.random.split(key)
+        if flat_idx is None:
+            rays_o, rays_d, d, c, valid, dra = (
+                mapper_mod.sample_insert_candidates_jit(
+                    ks, color, depth, cur_c2w_j, prev_j, self.mopts,
+                    n_rays, overlap, self.cur_r_add))
+            r_default = self.mopts_map.radius_add
+        else:
+            rays_o, rays_d, d, c, valid, dra = (
+                mapper_mod.pixel_insert_candidates_jit(
+                    flat_idx, color, depth, cur_c2w_j, self.mopts,
+                    self.cur_r_add))
+            r_default = self.mopts_map.radius_min
+        r_add = (dra if dra is not None
+                 else jnp.full((rays_o.shape[0],), r_default, jnp.float32))
+        ins = self._shard_prog(
+            "insert", lambda: self._msh().make_shard_add_candidates(
+                self.shard_mesh, self.mopts_map))
+        self._smap, n_loc, gate = ins(self._smap, rays_o, rays_d, d, ka,
+                                      valid, r_add)
+        self._smap_dirty = True
+        s = self.map_state
+        in_pos, in_rgb, in_count = input_cloud_insert(
+            s.in_pos, s.in_rgb, s.in_count, rays_o, rays_d, d, c, gate,
+            self.mopts_map.input_capacity)
+        self.map_state = s._replace(in_pos=in_pos, in_rgb=in_rgb,
+                                    in_count=in_count)
+        return n_loc
+
     def _maybe_grow_capacity(self, headroom: int = 6000):
         """Double the point buffers when the next insertion could overflow."""
+        if self.shard_mesh is not None:
+            n_sh = self.shard_mesh.devices.size
+            cap_l = self._smap.pos.shape[1]
+            # x2 slack over even split: spatial-hash ownership is balanced
+            # but not exact
+            maxcap_l = max(2 * self.mopts_map.capacity // n_sh, 2048)
+            mx = int(np.asarray(self._smap.count).max())
+            need = mx + max(headroom // n_sh * 2, 3000)
+            if need <= cap_l or cap_l >= maxcap_l:
+                return
+            new_cap_l = cap_l
+            while need > new_cap_l and new_cap_l < maxcap_l:
+                new_cap_l *= 2
+            new_cap_l = min(new_cap_l, maxcap_l)
+            self._smap = self._msh().grow_sharded(
+                self.shard_mesh, self._smap, new_cap_l, self.mopts_map)
+            if self.verbose:
+                print(f"grew sharded point buffer {cap_l} -> {new_cap_l} "
+                      "rows/shard")
+            return
         s = self.map_state
         cap = s.pos.shape[0]
         maxcap = self.mopts_map.capacity
@@ -430,6 +598,7 @@ class LoopySLAM:
         des = pr.extract_orb(color_np)
         n_carry = 0
         if not first:
+            self._sync_eval_state()  # map-sharded: refresh the snapshot
             s = self.map_state
             cnt = int(s.count)
             c_dim = self.mopts_map.c_dim
@@ -463,6 +632,13 @@ class LoopySLAM:
                 in_pos=s.in_pos, in_rgb=s.in_rgb, in_count=s.in_count)
             self.map_state = state
             self._count_host = n_carry
+            if self.shard_mesh is not None:
+                # fresh sharded active buffer seeded with the carry-over
+                self._scatter_to_shards(
+                    npc[carry] if n_carry else np.zeros((0, 3), np.float32),
+                    feat_host[carry] if n_carry else np.zeros(
+                        (0, 2 * self.mopts_map.c_dim), np.float32))
+                self._smap_dirty = False  # snapshot == shards (just built)
             self.keyframe_list = []  # local keyframes reset (Mapper.py:906)
             if self.verbose:
                 print(f"new segment at frame {idx} "
@@ -548,12 +724,19 @@ class LoopySLAM:
             f.anchor_est = self.estimate_c2w[f.start_idx].copy()
         # device: rigidly move the active segment's points
         N = jnp.asarray(corrections[-1], jnp.float32)
-        s = self.map_state
-        pos = s.pos @ N[:3, :3].T + N[:3, 3]
-        grid = knn.build(pos, valid_mask(s), self.mopts_map.cell_size,
-                         self.mopts_map.table_size,
-                         self.mopts_map.max_per_cell)
-        self.map_state = s._replace(pos=pos, grid=grid)
+        if self.shard_mesh is not None:
+            tf = self._shard_prog(
+                "transform", lambda: self._msh().make_shard_transform(
+                    self.shard_mesh, self.mopts_map))
+            self._smap = tf(self._smap, N)
+            self._smap_dirty = True
+        else:
+            s = self.map_state
+            pos = s.pos @ N[:3, :3].T + N[:3, 3]
+            grid = knn.build(pos, valid_mask(s), self.mopts_map.cell_size,
+                             self.mopts_map.table_size,
+                             self.mopts_map.max_per_cell)
+            self.map_state = s._replace(pos=pos, grid=grid)
         save_checkpoint(
             os.path.join(self.output, "ckpts", f"{seg_i:05d}_after_pgo.pkl"),
             {"estimate_c2w_list": self.estimate_c2w.copy()})
@@ -563,6 +746,7 @@ class LoopySLAM:
         """Merge all segments (duplicate-averaged) into a fresh device
         buffer — train_index_global + end=True feats (neural_point.py:
         1382-1392,1435-1504)."""
+        self._sync_eval_state()  # map-sharded: refresh the snapshot
         s = self.map_state
         cnt = int(s.count)
         c_dim = self.mopts_map.c_dim
@@ -584,6 +768,11 @@ class LoopySLAM:
                                   grid=grid, in_pos=s.in_pos,
                                   in_rgb=s.in_rgb, in_count=s.in_count)
         self._count_host = n
+        if self.shard_mesh is not None:
+            # the merged map continues training sharded (color refinement)
+            self._scatter_to_shards(npc,
+                                    np.concatenate([geo, col], axis=1))
+            self._smap_dirty = False
         if self.verbose:
             print(f"merged global map: {n} points")
 
@@ -682,7 +871,18 @@ class LoopySLAM:
                                  if self.prev_mapped_idx is not None
                                  else cur_c2w)
             k1, k2, k3 = self._next_key(), self._next_key(), self._next_key()
-            if m["filter_before_add_points"] and not init:
+            if self.shard_mesh is not None:
+                ins = self._insert_candidates_sharded
+                if m["filter_before_add_points"] and not init:
+                    n1 = ins(color, depth, cur_c2w_j, prev_j, k1, add_n,
+                             overlap=False)
+                    n2 = ins(color, depth, cur_c2w_j, prev_j, k2, 1000,
+                             overlap=True)
+                    n_add_dev = n1 + n2
+                else:
+                    n_add_dev = ins(color, depth, cur_c2w_j, prev_j, k1,
+                                    add_n, overlap=None)
+            elif m["filter_before_add_points"] and not init:
                 self.map_state, n1 = mapper_mod.add_points_from_frame(
                     self.map_state, color, depth, cur_c2w_j, prev_j, k1,
                     self.mopts_map, self.mopts, add_n, overlap=False,
@@ -710,11 +910,16 @@ class LoopySLAM:
                     if pick.size < npx_grad:  # pad: keep the jit shape fixed
                         pick = np.concatenate(
                             [pick, pick[:npx_grad - pick.size]])
-                    self.map_state, n3 = mapper_mod.add_points_at_pixels(
-                        self.map_state, color, depth, cur_c2w_j,
-                        jnp.asarray(flat[pick], jnp.int32), k3,
-                        self.mopts_map, self.mopts,
-                        dynamic_r_add=self.cur_r_add)
+                    flat_j = jnp.asarray(flat[pick], jnp.int32)
+                    if self.shard_mesh is not None:
+                        n3 = self._insert_candidates_sharded(
+                            color, depth, cur_c2w_j, None, k3, 0,
+                            overlap=None, flat_idx=flat_j)
+                    else:
+                        self.map_state, n3 = mapper_mod.add_points_at_pixels(
+                            self.map_state, color, depth, cur_c2w_j,
+                            flat_j, k3, self.mopts_map, self.mopts,
+                            dynamic_r_add=self.cur_r_add)
                     n_add_dev = n_add_dev + n3
             frame_pts_add = int(n_add_dev)  # the one host fetch
             self._count_host += frame_pts_add * self.mopts_map.N_add
@@ -730,7 +935,18 @@ class LoopySLAM:
                 cur_c2w = corrected
 
         # ---------------- frustum feature selection ----------------
-        if m["frustum_feature_selection"] and not color_refine:
+        if self.shard_mesh is not None and not color_refine:
+            if m["frustum_feature_selection"]:
+                fmask = self._shard_prog(
+                    "frustum", lambda: self._msh().make_shard_frustum_mask(
+                        self.shard_mesh, self.mopts))
+                feat_mask = fmask(self._smap.pos, self._smap.count,
+                                  jnp.asarray(cur_c2w), depth)
+            else:
+                cap_l = self._smap.pos.shape[1]
+                feat_mask = (jnp.arange(cap_l)[None, :]
+                             < self._smap.count[:, None])
+        elif m["frustum_feature_selection"] and not color_refine:
             feat_mask = mapper_mod.frustum_feature_mask(
                 self.map_state.pos, self.map_state.count, jnp.asarray(cur_c2w),
                 depth, self.mopts)
@@ -743,7 +959,12 @@ class LoopySLAM:
             # 'segments' keyframe selection: every fragment anchor + the
             # current frame (Mapper.py:386-395,402); merged end-state map
             self._build_end_state()
-            feat_mask = valid_mask(self.map_state)  # (shape may have grown)
+            if self.shard_mesh is not None:
+                cap_l = self._smap.pos.shape[1]
+                feat_mask = (jnp.arange(cap_l)[None, :]
+                             < self._smap.count[:, None])
+            else:
+                feat_mask = valid_mask(self.map_state)  # shape may have grown
             if self.fm.fragments:
                 refine_window_host = (
                     np.stack([f.gt_color for f in self.fm.fragments]),
@@ -840,7 +1061,10 @@ class LoopySLAM:
             ba_row_mask = jnp.asarray(mask_rows, jnp.float32)
             ba_lr = jnp.asarray(m["BA_cam_lr"], jnp.float32)
 
-        trainable = {"dec": self.params, "feat": self.map_state.feat}
+        use_mshard = self.shard_mesh is not None
+        trainable = {"dec": self.params,
+                     "feat": (self._smap.feat if use_mshard
+                              else self.map_state.feat)}
         if ba_active:
             trainable["cams"] = jnp.asarray(cams)
             ba_window = jnp.asarray(
@@ -880,6 +1104,14 @@ class LoopySLAM:
                     self.mesh, self.mopts, self.ropts_mapper, pix_per_frame,
                     self.use_dynamic_radius)
             sharded_opt = self._sharded_opt[skey]
+        mshard_opt = None
+        if use_mshard:
+            mshard_opt = self._shard_prog(
+                ("optimize", pix_per_frame, self.encode_exposure),
+                lambda: self._msh().make_map_shard_optimize(
+                    self.shard_mesh, self.mopts, self.ropts_mapper,
+                    pix_per_frame, self.use_dynamic_radius,
+                    with_exposure=self.encode_exposure))
         for _ in range(outer):
             st = adam_init_jit(trainable)
             done_geo, done_col = 0, 0
@@ -887,7 +1119,14 @@ class LoopySLAM:
                 g = min(chunk, n_geo - done_geo)
                 c = min(chunk - g, n_col - done_col)
                 km = self._next_key()
-                if use_mesh:
+                if use_mshard:
+                    trainable, st, aux = mshard_opt(
+                        trainable, st, dec_mask, feat_mask,
+                        self._smap.pos, self._smap.count, self._smap.grid,
+                        kc, kd, kp, krq, km, self._dev(g, np.int32),
+                        self._dev(c, np.int32), lrs_geo, lrs_col,
+                        kf_exposure)
+                elif use_mesh:
                     args = replicate(self.mesh, (
                         trainable, st, dec_mask, feat_mask,
                         self.map_state.pos, self.map_state.grid, kc, kd, kp,
@@ -910,6 +1149,16 @@ class LoopySLAM:
                 done_col += c
         if self.encode_exposure:
             self.exposure_feat = trainable["exp"]
+            if not color_refine:
+                # stamp the exposure latent + color-decoder state this frame
+                # was mapped with (reference Mapper.py:798-802); final_eval
+                # re-renders under these (Mapper.py:1095-1114)
+                self.mapped_exposure[idx] = np.asarray(self.exposure_feat)
+                cd_dir = os.path.join(self.output, "ckpts", "color_decoder")
+                os.makedirs(cd_dir, exist_ok=True)
+                save_checkpoint(
+                    os.path.join(cd_dir, f"{idx:05d}.pkl"),
+                    jax.tree.map(np.asarray, trainable["dec"]["col"]))
         if ba_active:
             # write optimized poses back (Mapper.py:782-797): keyframes'
             # est_c2w (first-occurrence rows only) and the current pose
@@ -926,14 +1175,20 @@ class LoopySLAM:
                 else:
                     self.kf_est_c2w[i] = c2w4
         self.params = trainable["dec"]
-        self.map_state = self.map_state._replace(feat=trainable["feat"])
+        if use_mshard:
+            self._smap = self._smap._replace(feat=trainable["feat"])
+            self._smap_dirty = True
+        else:
+            self.map_state = self.map_state._replace(feat=trainable["feat"])
         if self.verbose or self.wandb.enabled:
             # one combined fetch of the loss aux (vs separate scalar
             # fetches); n_dropped rides along — it counts points the
             # spatial hash could NOT index (overflowed cell rows), the
             # silent-neighbor-loss failure mode of the kNN index, and
             # must be visible when it ever becomes nonzero
-            dropped = self.map_state.grid.n_dropped.astype(jnp.float32)
+            dropped = (jnp.sum(self._smap.grid.n_dropped) if use_mshard
+                       else self.map_state.grid.n_dropped).astype(
+                jnp.float32)
             g, c, n, drop = np.asarray(
                 jnp.stack(list(aux) + [dropped])).tolist()
             if self.verbose:
@@ -962,7 +1217,12 @@ class LoopySLAM:
     # ------------------------------------------------------------------
     # Full-image rendering (for eval/visualization)
     # ------------------------------------------------------------------
-    def render_img(self, c2w, gt_depth, chunk=4096, r_query_map=None):
+    def render_img(self, c2w, gt_depth, chunk=4096, r_query_map=None,
+                   exposure_feat=None, col_params=None):
+        """Full-frame render. exposure_feat/col_params re-render under a
+        per-frame exposure latent and color-decoder snapshot (reference
+        Mapper.py:1095-1114)."""
+        self._sync_eval_state()  # map-sharded: render from the snapshot
         rays_o, rays_d = get_rays(self.H, self.W, self.fx, self.fy,
                                   self.cx, self.cy, jnp.asarray(c2w))
         rays_o = rays_o.reshape(-1, 3)
@@ -972,6 +1232,11 @@ class LoopySLAM:
         n = rays_o.shape[0]
         depths, colors = [], []
         s = self.map_state
+        params = self.params
+        if col_params is not None:
+            params = {**params, "col": jax.tree.map(jnp.asarray, col_params)}
+        ef = (jnp.asarray(exposure_feat)
+              if exposure_feat is not None else None)
         for i in range(0, n, chunk):
             sl = slice(i, min(i + chunk, n))
             ro, rd, d = rays_o[sl], rays_d[sl], gd[sl]
@@ -985,8 +1250,8 @@ class LoopySLAM:
                 rqc = jnp.pad(rq[sl], (0, pad), constant_values=1e-3)
             kr = self._next_key()
             dep, var, col, vmask = _render_chunk(
-                self.params, s.pos, s.grid, s.feat, ro, rd, d, kr,
-                self.ropts_mapper, rqc)
+                params, s.pos, s.grid, s.feat, ro, rd, d, kr,
+                self.ropts_mapper, rqc, ef)
             take = sl.stop - sl.start
             depths.append(np.asarray(dep)[:take])
             colors.append(np.asarray(col)[:take])
@@ -1047,6 +1312,12 @@ class LoopySLAM:
                 jnp.asarray(r["in_rgb"][:n_in])),
             in_count=jnp.asarray(n_in, jnp.int32))
         self._count_host = count
+        if self.shard_mesh is not None:
+            feat_np = np.concatenate([np.asarray(m["geo"]),
+                                      np.asarray(m["col"])], axis=1)
+            self._scatter_to_shards(np.asarray(m["pos"])[:count],
+                                    feat_np[:count].astype(np.float32))
+            self._smap_dirty = False
 
         # ---- trajectories + keyframe metadata
         n = min(last_idx + 1, self.n_img)
@@ -1085,6 +1356,7 @@ class LoopySLAM:
         # _add_keyframe stamped the CURRENT exposure latent; the saved
         # per-keyframe latents are authoritative
         self.kf_exposure = dict(r["kf_exposure"])
+        self.mapped_exposure = dict(r.get("mapped_exposure", {}))
 
         # ---- submap archive + loop-closure bookkeeping: replay the
         # place-recognition database in fragment order so query result ids
@@ -1174,7 +1446,8 @@ class LoopySLAM:
                 # hard sync: async runtimes may return before the optimizer
                 # chunks complete, which would misattribute mapping time to
                 # the next tracking call
-                _ = np.asarray(self.map_state.feat[0, 0])
+                _ = np.asarray((self._smap if self.shard_mesh is not None
+                                else self.map_state).feat[0, 0])
                 self.timings["map"].append(time.perf_counter() - t0)
                 if self.mapping_vis is not None:
                     self.mapping_vis.vis(
@@ -1217,6 +1490,7 @@ class LoopySLAM:
             if mp:
                 print(f"mapping:  n={len(mp)} median "
                       f"{np.median(mp)*1e3:.0f} ms")
+        self._sync_eval_state()
         return {
             "estimate_c2w": self.estimate_c2w[:idx + 1],
             "gt_c2w": self.gt_c2w[:idx + 1],
@@ -1244,8 +1518,23 @@ class LoopySLAM:
             rq = None
             if self.use_dynamic_radius:
                 _, rq = self._dynamic_radius(gc)
+            ef = col_params = None
+            if self.encode_exposure:
+                # re-render under the exposure latent + color-decoder
+                # snapshot this frame was mapped with (reference
+                # Mapper.py:1095-1114; falls back to the final decoder
+                # when no snapshot exists, matching its except path)
+                ef = self.mapped_exposure.get(idx,
+                                              np.asarray(self.exposure_feat))
+                cd_path = os.path.join(self.output, "ckpts",
+                                       "color_decoder", f"{idx:05d}.pkl")
+                if os.path.exists(cd_path):
+                    from .utils.io import load_checkpoint
+                    col_params = load_checkpoint(cd_path)
             depth, color = self.render_img(self.estimate_c2w[idx], gd,
-                                           r_query_map=rq)
+                                           r_query_map=rq,
+                                           exposure_feat=ef,
+                                           col_params=col_params)
             pairs.append((color, gc, depth, gd))
             renders.append((color.astype(np.float32),
                             depth.astype(np.float32)))
@@ -1296,6 +1585,7 @@ class LoopySLAM:
 
     # ------------------------------------------------------------------
     def finalize(self, last_idx, final: bool = True):
+        self._sync_eval_state()  # map-sharded: checkpoint the snapshot
         s = self.map_state
         n_in = int(s.in_count)
         pts = np.asarray(s.in_pos)[:n_in]
@@ -1335,6 +1625,7 @@ class LoopySLAM:
                 "kf_order": sorted(self.kf_slot_of_idx,
                                    key=self.kf_slot_of_idx.get),
                 "kf_exposure": self.kf_exposure,
+                "mapped_exposure": self.mapped_exposure,
                 "exposure_feat": np.asarray(self.exposure_feat),
                 "prev_mapped_idx": self.prev_mapped_idx,
                 "fragments": self.fm.fragments,
@@ -1355,7 +1646,9 @@ from functools import partial  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("ropts",))
-def _render_chunk(params, pos, grid, feat, ro, rd, d, key, ropts, rq):
+def _render_chunk(params, pos, grid, feat, ro, rd, d, key, ropts, rq,
+                  exposure_feat=None):
     valid = d > 0
     return render_batch_ray(params, pos, grid, feat, ro, rd, d, valid,
-                            key, ropts, "color", r_query=rq)
+                            key, ropts, "color", r_query=rq,
+                            exposure_feat=exposure_feat)

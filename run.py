@@ -8,13 +8,16 @@
 import argparse
 import random
 
-import numpy as np
-
-from loopy_slam_tpu.config import load_config
-from loopy_slam_tpu.slam import LoopySLAM
-
 
 def main():
+    # heavy imports deferred so spawned registration-pool workers, which
+    # re-import this file as __main__ (spawn context), don't each pay the
+    # full slam -> jax import chain
+    import numpy as np
+
+    from loopy_slam_tpu.config import load_config
+    from loopy_slam_tpu.slam import LoopySLAM
+
     parser = argparse.ArgumentParser(description="loopy_slam_tpu runner")
     parser.add_argument("config", type=str, help="path to scene config yaml")
     parser.add_argument("--input_folder", type=str, default=None)

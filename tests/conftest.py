@@ -16,6 +16,14 @@ import jax  # noqa: E402
 # tests never dispatch to the tunneled TPU
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-bound (tiny shapes,
+# many jitted programs), so repeat runs drop from ~30 min to a few minutes
+_CACHE_DIR = os.environ.get(
+    "LOOPY_JAX_CACHE", "/tmp/loopy_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import copy  # noqa: E402
 
 import numpy as np  # noqa: E402
@@ -56,6 +64,14 @@ def small_cfg(**overrides):
     })
     update_recursive(cfg, overrides)
     return cfg
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly marked slow is the fast tier, so
+    `pytest -m fast` / `pytest -m slow` partition the suite."""
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)
 
 
 @pytest.fixture

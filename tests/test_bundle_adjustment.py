@@ -1,11 +1,14 @@
 """Bundle adjustment (mapping.BA): window keyframe poses co-optimized."""
 
+import pytest
 import numpy as np
 
 from conftest import small_cfg
 from loopy_slam_tpu.slam import LoopySLAM
 from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
 
+
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
 
 def test_ba_runs_and_moves_keyframe_poses(tmp_path):
     cfg = small_cfg()

@@ -1,11 +1,14 @@
 """End-of-run color refinement (Mapper.py:885-895 parity): merged
 end-state map, segments keyframe window, fixed color decoder."""
 
+import pytest
 import numpy as np
 
 from conftest import small_cfg
 from loopy_slam_tpu.slam import LoopySLAM
 
+
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
 
 def test_color_refinement_improves_color(tmp_path):
     cfg = small_cfg()

@@ -1,11 +1,14 @@
 """End-of-run evaluation: renders, mesh fusion, recon metrics vs analytic
 ground truth on the synthetic scene."""
 
+import pytest
 import numpy as np
 
 from conftest import small_cfg
 from loopy_slam_tpu.slam import LoopySLAM
 
+
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
 
 def test_final_eval_pipeline(tmp_path):
     cfg = small_cfg()

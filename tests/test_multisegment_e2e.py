@@ -1,12 +1,15 @@
 """End-to-end submaps: segment switches, carry-over, TSDF registration
 clouds, ORB baselines, and the loop-closure correction path."""
 
+import pytest
 import numpy as np
 
 from conftest import small_cfg
 from loopy_slam_tpu.slam import LoopySLAM
 from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
 
+
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
 
 def test_multisegment_run(tmp_path):
     cfg = small_cfg()

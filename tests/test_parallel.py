@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
+
 def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8  # conftest forces the virtual CPU mesh
 

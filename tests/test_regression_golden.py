@@ -2,12 +2,15 @@
 run.py:25,35-37 + SURVEY.md §4): same seed + same config must reproduce the
 same trajectory metrics across runs within float tolerance."""
 
+import pytest
 import numpy as np
 
 from conftest import small_cfg
 from loopy_slam_tpu.slam import LoopySLAM
 from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
 
+
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
 
 def _run(tmp_path, tag):
     cfg = small_cfg()

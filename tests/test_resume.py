@@ -2,6 +2,7 @@
 checkpoint to a complete, consistent session (a capability the reference
 lacks — its ckpts feed only the offline tools, SURVEY.md §5)."""
 
+import pytest
 import copy
 import glob
 import os
@@ -13,6 +14,8 @@ from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
 
 from conftest import small_cfg
 
+
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
 
 def test_resume_continues_to_completion(tmp_path):
     cfg = small_cfg()

@@ -1,10 +1,13 @@
 """Segment strategy variants: 'fixed' size and disabled ('none')."""
 
+import pytest
 import numpy as np
 
 from conftest import small_cfg
 from loopy_slam_tpu.slam import LoopySLAM
 
+
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
 
 def test_fixed_segment_strategy(tmp_path):
     cfg = small_cfg()

@@ -4,12 +4,15 @@ The golden-output role of the reference's `--stop` mechanism (SURVEY.md §4):
 deterministic seeds, truncated run, metric thresholds.
 """
 
+import pytest
 import numpy as np
 
 from conftest import small_cfg
 from loopy_slam_tpu.slam import LoopySLAM
 from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
 
+
+pytestmark = pytest.mark.slow  # full SLAM session (compile-bound)
 
 def test_e2e_synthetic(tmp_path):
     cfg = small_cfg()
