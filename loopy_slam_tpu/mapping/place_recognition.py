@@ -3,10 +3,15 @@
 The reference uses ORB keypoints + a DBoW3 bag-of-words database with a
 40 MB pretrained vocabulary (reference src/neural_point.py:76-80,126-142,
 1076-1107). This framework is self-contained: ORB descriptors (cv2, the
-same detector the reference instantiates) are scored by direct
-cross-checked Hamming matching between segment anchor frames — for the
-dozens-of-segments scale of a SLAM run this is both cheaper and more
-accurate than a quantized BoW lookup, and it needs no vocabulary file.
+same detector the reference instantiates) are scored by exact
+cross-checked Hamming matching between segment anchor frames, with a
+multi-index-hashing inverted index (native HamIndex) shortlisting the
+candidate anchors so query cost stays flat in the number of stored
+segments. No vocabulary file is needed, and the index's vote ranking
+measurably IMPROVES proposal precision over scoring every anchor
+(burst-correlated false matches collect few substring votes) — see
+scripts/bench_place_recognition.py for the measured recall/precision and
+scaling curves.
 
 API mirrors the reference's usage:
   db.add(features)                -> register a segment anchor
@@ -75,17 +80,50 @@ class QueryResult(NamedTuple):
 
 
 class ScoreDB:
-    """Drop-in for the reference's DBoW3 Database (add/query semantics)."""
+    """Drop-in for the reference's DBoW3 Database (add/query semantics).
 
-    def __init__(self, max_dist: int = 64):
+    Query is two-stage once enough anchors are stored: a multi-index
+    Hamming inverted index (native/matcher.cpp HamIndex — 16 exact 16-bit
+    substring tables) surfaces candidate anchors at a probe cost
+    independent of the number of stored anchors, and the exact
+    cross-checked mutual matcher scores only that shortlist. This replaces
+    the reference's DBoW3 vocabulary-tree lookup (neural_point.py:77-80,
+    136-142) without a 40 MB pretrained vocabulary; brute force remains
+    the fallback (and the ground truth the index's recall is benchmarked
+    against — scripts/bench_place_recognition.py).
+    """
+
+    def __init__(self, max_dist: int = 64, shortlist: int = 24,
+                 use_index: bool = True):
         self.entries: List[Optional[np.ndarray]] = []
         self.max_dist = max_dist
+        self.shortlist = shortlist
+        self._index = None
+        if use_index:
+            try:
+                from ..native.build import HammingIndex
+                self._index = HammingIndex()
+            except Exception:
+                self._index = None
 
     def add(self, des: Optional[np.ndarray]):
+        if self._index is not None and des is not None and len(des):
+            self._index.add(des, len(self.entries))
         self.entries.append(des)
 
     def query(self, des: Optional[np.ndarray], k: int) -> List[QueryResult]:
-        scores = [match_score(des, e, self.max_dist) for e in self.entries]
+        n = len(self.entries)
+        shortlist = max(self.shortlist, 2 * k)
+        if self._index is not None and n > shortlist and des is not None:
+            votes = self._index.query_votes(des, n)
+            cand = np.argsort(votes)[::-1][:shortlist]
+            cand = [int(i) for i in cand if votes[i] > 0]
+            scores = np.zeros(n, np.float32)
+            for i in cand:
+                scores[i] = match_score(des, self.entries[i], self.max_dist)
+        else:
+            scores = np.array([match_score(des, e, self.max_dist)
+                               for e in self.entries], np.float32)
         order = np.argsort(scores)[::-1][:k]
         return [QueryResult(int(i), float(scores[i])) for i in order]
 

@@ -63,8 +63,60 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_void_p]
+    lib.hamidx_create.restype = ctypes.c_void_p
+    lib.hamidx_create.argtypes = []
+    lib.hamidx_destroy.restype = None
+    lib.hamidx_destroy.argtypes = [ctypes.c_void_p]
+    lib.hamidx_size.restype = ctypes.c_int
+    lib.hamidx_size.argtypes = [ctypes.c_void_p]
+    lib.hamidx_add.restype = None
+    lib.hamidx_add.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                               ctypes.c_int, ctypes.c_int]
+    lib.hamidx_query.restype = None
+    lib.hamidx_query.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
     _LIB = lib
     return _LIB
+
+
+class HammingIndex:
+    """Incremental multi-index Hamming inverted index (16x16-bit substring
+    tables, matcher.cpp) for place-recognition candidate retrieval. Raises
+    RuntimeError at construction when the native toolchain is unavailable —
+    callers fall back to brute-force scoring."""
+
+    def __init__(self):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.hamidx_create()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.hamidx_destroy(self._h)
+            self._h = None
+
+    def add(self, des, anchor_id: int):
+        import numpy as np
+
+        des = np.ascontiguousarray(des, np.uint8)
+        self._lib.hamidx_add(self._h, des.ctypes.data, len(des),
+                             int(anchor_id))
+
+    def query_votes(self, des, n_anchors: int):
+        """Per-anchor candidate votes (n_anchors,) float32: number of query
+        descriptors sharing >=1 exact 16-bit substring with any descriptor
+        of that anchor."""
+        import numpy as np
+
+        votes = np.zeros(n_anchors, np.float32)
+        if des is None or len(des) == 0 or n_anchors == 0:
+            return votes
+        des = np.ascontiguousarray(des, np.uint8)
+        self._lib.hamidx_query(self._h, des.ctypes.data, len(des),
+                               votes.ctypes.data, n_anchors)
+        return votes
 
 
 def hamming_mutual_match_count(a, b, max_dist: int) -> Optional[int]:

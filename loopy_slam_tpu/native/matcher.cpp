@@ -225,4 +225,77 @@ int raster_depth(const float* verts, int V, const int32_t* faces, int F,
     return 0;
 }
 
+// ---------------------------------------------------------------------
+// Incremental multi-index Hamming inverted index over packed 256-bit ORB
+// descriptors (place-recognition candidate retrieval; replaces the
+// all-pairs anchor matching that made ScoreDB.query linear in
+// segments x N^2 descriptors — reference uses a DBoW3 vocabulary tree,
+// src/neural_point.py:77-80,136-142).
+//
+// Scheme (multi-index hashing, Norouzi et al.): each descriptor is split
+// into 16 disjoint 16-bit substrings; substring c of value v files the
+// descriptor in bucket (c, v). A query descriptor probes its own 16
+// buckets; any stored descriptor sharing >=1 exact substring surfaces as
+// a candidate, voting for its anchor (deduplicated per query
+// descriptor). True ORB correspondences have Hamming distance ~20-50 of
+// 256, so the expected number of untouched substrings is high and a
+// matching ANCHOR (dozens of correspondences) is surfaced with
+// probability ~1, while the probe cost is independent of the number of
+// stored anchors (bucket occupancy stays near uniform-random).
+// Exact mutual-match scoring then runs only on the voted shortlist.
+// ---------------------------------------------------------------------
+struct HamIndex {
+    std::vector<std::vector<int32_t>> buckets;  // 16 * 65536
+    std::vector<int32_t> entry_anchor;          // entry id -> anchor id
+    int n_anchors = 0;
+    HamIndex() : buckets((size_t)16 * 65536) {}
+};
+
+void* hamidx_create() { return new HamIndex(); }
+
+void hamidx_destroy(void* p) { delete (HamIndex*)p; }
+
+int hamidx_size(void* p) {
+    return (int)((HamIndex*)p)->entry_anchor.size();
+}
+
+void hamidx_add(void* p, const uint8_t* des, int n, int anchor_id) {
+    HamIndex* h = (HamIndex*)p;
+    if (anchor_id >= h->n_anchors) h->n_anchors = anchor_id + 1;
+    for (int i = 0; i < n; ++i) {
+        int32_t eid = (int32_t)h->entry_anchor.size();
+        h->entry_anchor.push_back(anchor_id);
+        const uint8_t* d = des + 32 * i;
+        for (int c = 0; c < 16; ++c) {
+            uint16_t key;
+            std::memcpy(&key, d + 2 * c, 2);
+            h->buckets[(size_t)c * 65536 + key].push_back(eid);
+        }
+    }
+}
+
+// out_votes: (n_anchors,) float32, caller-zeroed. Each query descriptor
+// adds at most one vote per anchor.
+void hamidx_query(void* p, const uint8_t* des, int n,
+                  float* out_votes, int n_anchors) {
+    HamIndex* h = (HamIndex*)p;
+    std::vector<int32_t> last(h->n_anchors, -1);
+    for (int i = 0; i < n; ++i) {
+        const uint8_t* d = des + 32 * i;
+        for (int c = 0; c < 16; ++c) {
+            uint16_t key;
+            std::memcpy(&key, d + 2 * c, 2);
+            const std::vector<int32_t>& b =
+                h->buckets[(size_t)c * 65536 + key];
+            for (int32_t eid : b) {
+                int32_t an = h->entry_anchor[eid];
+                if (an < n_anchors && last[an] != i) {
+                    last[an] = i;
+                    out_votes[an] += 1.0f;
+                }
+            }
+        }
+    }
+}
+
 }  // extern "C"
