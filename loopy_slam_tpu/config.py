@@ -178,17 +178,16 @@ DEFAULTS: Dict[str, Any] = {
         # TPU-native additions (static-shape capacity planning):
         "capacity": 2 ** 19,          # max points in the global buffer
         "cell_table_size": 2 ** 17,   # spatial-hash table size
-        "max_per_cell": 28,           # candidate slots per hash-cell row.
-                                      # A planar patch holds up to
-                                      # (cell/radius_add)^2 = 4 gated
-                                      # locations x N_add = 3 points, and
-                                      # the 3 along-ray points of adjacent
-                                      # locations often share a cell, so
-                                      # ~24 is reachable at defaults
-                                      # (measured: 16 dropped ~2% of
-                                      # insertions on the synthetic room —
-                                      # overflow silently drops neighbors;
-                                      # slam logs grid n_dropped)
+        "max_per_cell": 32,           # candidate slots per hash-cell row.
+                                      # 32 slots = one full 128-lane VPU
+                                      # row of (x,y,z,idx) groups. Density
+                                      # is capped here by construction:
+                                      # add_points skips locations whose
+                                      # hash row is full (a point an
+                                      # overflowed row cannot index would
+                                      # be invisible to every query);
+                                      # residual n_dropped comes only
+                                      # from hash-merged cells
     },
 }
 

@@ -146,7 +146,27 @@ def add_points(state: MapState, opts: MapOptions, key,
         r_add = dynamic_r_add
     _, _, nn_count = knn.query(state.grid, state.pos, pts_gt, opts.nn_num,
                                r_add, opts.table_size, opts.max_per_cell)
-    gate = cand_valid & (nn_count == 0)
+    # Also gate on the location's hash-cell row having free slots: a point
+    # inserted into a full row is invisible to every future k-NN query
+    # (grid.n_dropped), so it renders nothing AND its absence from the
+    # nn_count==0 test above would keep attracting near-duplicates to the
+    # same cell — a densification feedback loop observed on room0 (19% of
+    # points dropped). Same-batch candidates count each other through a
+    # per-cell rank (sorted grouping, like knn.insert). The reference
+    # cannot hit this (faiss indexes everything); saturating a cell at M
+    # indexed points is the TPU-native density cap.
+    gate0 = cand_valid & (nn_count == 0)
+    M = state.grid.cell_data.shape[1]
+    cell_h = knn._hash_cells(knn._cell_of(pts_gt, state.grid.cell_size),
+                             opts.table_size)
+    key_h = jnp.where(gate0, cell_h, jnp.int32(opts.table_size))
+    h_order = jnp.argsort(key_h).astype(jnp.int32)
+    cs = key_h[h_order]
+    first = jnp.searchsorted(cs, cs, side="left").astype(jnp.int32)
+    rank_sorted = jnp.arange(A, dtype=jnp.int32) - first
+    cell_rank = jnp.zeros(A, jnp.int32).at[h_order].set(rank_sorted)
+    gate = gate0 & (state.grid.cell_fill[cell_h]
+                    + cell_rank * opts.N_add < M)
 
     # stratified points along the ray around the depth reading
     if opts.fix_interval_when_add_along_ray:

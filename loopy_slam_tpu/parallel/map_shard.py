@@ -336,7 +336,25 @@ def make_shard_add_candidates(mesh: Mesh, mopts):
         pts_gt = rays_o + rays_d * d[:, None]
         _, _, _, nn = ring_knn(s, pts_gt, 1, r_add, mopts.table_size,
                                mopts.max_per_cell, n)
-        gate = valid & (nn == 0)
+        # full-cell gate with same-batch cell rank (see
+        # point_cloud.add_points): the OWNER shard's hash-row fill decides;
+        # psum broadcasts it (non-owners add 0) and the rank computation is
+        # replica-deterministic, so the gate stays replica-identical
+        M = s.grid.cell_data.shape[1]
+        cell_h = knn._hash_cells(knn._cell_of(pts_gt, s.grid.cell_size),
+                                 mopts.table_size)
+        own = owner_of_points(pts_gt, mopts.cell_size, n) == me
+        fill = jax.lax.psum(
+            jnp.where(own, s.grid.cell_fill[cell_h], 0), AXIS)
+        gate0 = valid & (nn == 0)
+        A = pts_gt.shape[0]
+        key_h = jnp.where(gate0, cell_h, jnp.int32(mopts.table_size))
+        h_order = jnp.argsort(key_h).astype(jnp.int32)
+        cs = key_h[h_order]
+        first = jnp.searchsorted(cs, cs, side="left").astype(jnp.int32)
+        rank_sorted = jnp.arange(A, dtype=jnp.int32) - first
+        cell_rank = jnp.zeros(A, jnp.int32).at[h_order].set(rank_sorted)
+        gate = gate0 & (fill + cell_rank * mopts.N_add < M)
 
         if mopts.fix_interval_when_add_along_ray:
             z = d[:, None] + jnp.linspace(-0.04, 0.04, mopts.N_add)

@@ -79,3 +79,31 @@ def test_capacity_overflow_drops_not_corrupts(rng):
                           jnp.ones(64, bool))
     assert int(state.count) <= 32
     assert int(state.in_count) <= 16
+
+
+def test_full_cell_gate_stops_densification(rng):
+    """A saturated hash-cell row must stop attracting insertions: points an
+    overflowed row cannot index are invisible to k-NN (including the
+    nn==0 insertion gate itself), which previously caused a densification
+    feedback loop (19% dropped points on the room0-scale run)."""
+    opts = OPTS._replace(max_per_cell=4, radius_add=1e-4)
+    state = init_map(opts)
+    # all candidates in ONE cell (cell_size 0.4), tiny r_add so the
+    # zero-neighbor gate never blocks them
+    n = 32
+    rays_o = jnp.zeros((n, 3), jnp.float32)
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+    rng_l = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    total_dropped = 0
+    for it in range(4):
+        d = jnp.asarray(rng_l.uniform(0.20, 0.21, n).astype(np.float32))
+        c = jnp.asarray(rng_l.uniform(size=(n, 3)).astype(np.float32))
+        key, k = jax.random.split(key)
+        state, _ = add_points(state, opts, k, rays_o, rays_d, d, c,
+                              jnp.ones(n, bool))
+        total_dropped = int(state.grid.n_dropped)
+    # the N_add spawn of a single gated location can overshoot the row by
+    # at most N_add-1; after saturation no further location passes the gate
+    assert total_dropped <= opts.N_add - 1
+    assert int(state.count) <= (opts.max_per_cell + opts.N_add - 1) * 2
