@@ -125,13 +125,18 @@ def make_sharded_optimize_map(mesh: Mesh, opts: MapperOptions,
 
     def _wrapped(trainable, adam_state, dec_mask, feat_mask, map_pos, grid,
                  kf_color, kf_depth, kf_c2w, kf_rq, key, n_geo, n_col,
-                 lrs_geo, lrs_col, kf_exposure):
+                 lrs_geo, lrs_col, kf_exposure, ba_row_mask, ba_lr,
+                 ba_window, iter_offset):
+        # BA rides along unchanged: trainable["cams"] is replicated and its
+        # gradient is part of the same per-iteration psum as the decoders'
         return impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
                     grid, kf_color, kf_depth, kf_c2w, kf_rq, key, n_geo,
-                    n_col, lrs_geo, lrs_col, kf_exposure=kf_exposure)
+                    n_col, lrs_geo, lrs_col, kf_exposure=kf_exposure,
+                    ba_row_mask=ba_row_mask, ba_lr=ba_lr,
+                    ba_window=ba_window, iter_offset=iter_offset)
 
     sharded = jax.shard_map(_wrapped, mesh=mesh,
-                        in_specs=(P(),) * 16, out_specs=(P(), P(), P()),
+                        in_specs=(P(),) * 20, out_specs=(P(), P(), P()),
                         check_vma=False)
     return jax.jit(sharded, donate_argnames=("trainable", "adam_state"))
 

@@ -1092,9 +1092,7 @@ class LoopySLAM:
         chunk = int(self.cfg["mapping"].get("device_chunk_iters", 250))
         outer = 5 if color_refine else 1
         adam_init_jit = _adam_init_jit()
-        # BA trains window poses with an iteration-window LR schedule that
-        # needs iter_offset threading; keep it on the single-device path
-        use_mesh = self.mesh is not None and not ba_active
+        use_mesh = self.mesh is not None
         sharded_opt = None
         if use_mesh:
             from .parallel.sharded import make_sharded_optimize_map, replicate
@@ -1132,7 +1130,8 @@ class LoopySLAM:
                         self.map_state.pos, self.map_state.grid, kc, kd, kp,
                         krq, km, self._dev(g, np.int32),
                         self._dev(c, np.int32), lrs_geo, lrs_col,
-                        kf_exposure))
+                        kf_exposure, ba_row_mask, ba_lr, ba_window,
+                        self._dev(done_geo + done_col, np.int32)))
                     trainable, st, aux = sharded_opt(*args)
                 else:
                     trainable, st, aux = mapper_mod.optimize_map(

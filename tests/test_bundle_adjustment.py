@@ -34,3 +34,33 @@ def test_ba_runs_and_moves_keyframe_poses(tmp_path):
             if d > 1e-7:
                 moved += 1
     assert moved >= 1, "BA never updated any keyframe pose"
+
+
+def test_ba_with_ray_dp_mesh(tmp_path):
+    """BA must also run on the ray-data-parallel mesh path (the two were
+    mutually exclusive in round 1): trainable window poses ride the same
+    per-iteration gradient psum as the decoders."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    cfg = small_cfg()
+    cfg["data"]["output"] = str(tmp_path / "out")
+    cfg["data"]["n_frames"] = 13
+    cfg["parallel"]["n_devices"] = 4
+    cfg["mapping"].update({"BA": True, "BA_cam_lr": 0.0002,
+                           "color_refine": False, "iters": 30,
+                           "iters_first": 40, "geo_iter_first": 12,
+                           "keyframe_every": 2, "every_frame": 2,
+                           "mapping_window_size": 5})
+    slam = LoopySLAM(cfg, output=cfg["data"]["output"])
+    assert slam.mesh is not None
+    res = slam.run()
+    stats = evaluate_trajectories(res["estimate_c2w"], res["gt_c2w"])
+    assert stats["rmse"] < 0.08, stats
+    moved = sum(
+        1 for i, pose in slam.kf_est_c2w.items()
+        if i < len(res["estimate_c2w"])
+        and np.linalg.norm(pose[:3, 3]
+                           - res["estimate_c2w"][i][:3, 3]) > 1e-7)
+    assert moved >= 1, "BA never updated any keyframe pose on the mesh path"
