@@ -237,6 +237,16 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
             from ..models.renderer import soft_clamp_logits
 
             color = jax.nn.sigmoid(soft_clamp_logits(cf)).reshape(-1, 3)
+        # targets clipped to half an 8-bit step: decoded JPEG/PNG colors
+        # hit exact 0.0/1.0, whose L1 optimum under the (soft-clamped)
+        # sigmoid head lies at the clamp asymptote — the residual never
+        # closes, and that constant gradient sign walked the color trunk
+        # to +-1e7 logits over 340k iterations on the room0-format run
+        # (grey/railed renders). Clipped targets put every optimum at
+        # finite logits (|x| <= ~6.2); beyond 8-bit resolution the resid
+        # was unobservable anyway. See also renderer.soft_clamp_logits's
+        # restoring gradient (the backstop for any other drift source).
+        c = jnp.clip(c, 1.0 / 510.0, 1.0 - 1.0 / 510.0)
         col_loss = jnp.sum(jnp.where(m[:, None], jnp.abs(c - color), 0.0))
         loss = loss + opts.w_color_loss * col_loss
     return loss, (geo_loss, col_loss, jnp.sum(m).astype(jnp.float32))

@@ -198,27 +198,51 @@ def decode_neighbors(params, pts, key, opts: RenderOptions, stage: str,
     return occ, rgb, has_neighbors
 
 
-def soft_clamp_logits(x, limit=12.0):
-    """Bound pre-sigmoid color logits with a RATIONAL soft clamp.
+_CLAMP_LIMIT = 12.0
+_CLAMP_KNEE = 24.0  # fold point: well past any logit a real color needs
 
-    Robustness addition over the reference: under the L1 color loss, Adam
-    can transiently drive logits to the hundreds (observed on a v5e:
-    within 50 color iterations every sample railed to (1, 0, 0) color),
-    after which sigmoid'(x) — and tanh'(x/L) of a tanh clamp — underflow
-    to EXACT f32 zero. Zero gradient means zero Adam update: the color
-    head latches permanently grey/railed (seed-dependent collapse, frame-0
-    color loss stuck at ~1.5 = 3 channels x 0.5).
 
-    x / (1 + |x|/L) bounds the logit to (-L, L) while its derivative
-    1/(1 + |x|/L)^2 decays only POLYNOMIALLY — nonzero in f32 until
-    |x| ~ 1e19 — and Adam is magnitude-invariant: a tiny-but-nonzero
-    gradient sign is enough to walk the head back out of saturation.
-    The map is strictly monotone and covers colors in
-    [sigmoid(-12), sigmoid(12)] — beyond 8-bit resolution — so it only
-    stretches the logit parameterization; every L1 optimum the bare
-    sigmoid head could reach remains reachable.
+def soft_clamp_logits(x):
+    """Bound pre-sigmoid color logits with a rational clamp that FOLDS
+    BACK past |x| = 24.
+
+    Robustness addition over the reference (two failure modes observed on
+    a v5e, both absent from the CUDA reference's bare sigmoid head only
+    because it starts from pretrained decoders):
+
+    1. LATCH. Under the L1 color loss, Adam can transiently drive logits
+       to the hundreds (within 50 color iterations every sample railed to
+       (1, 0, 0)), where sigmoid'(x) — and tanh'(x/L) of a tanh clamp —
+       underflow to EXACT f32 zero: zero gradient, zero Adam update, the
+       head latches permanently grey/railed. Inside |x| <= 24 this uses
+       x / (1 + |x|/L): output in (-8, 8], derivative decays only
+       polynomially, every 8-bit color optimum reachable at finite x.
+
+    2. DRIFT. A monotone clamp's flat-but-sign-consistent tail gradient
+       is itself a trap: Adam is magnitude-invariant, so pixels railed at
+       exact 0/1 targets (decoded JPEG hits them) walk the color trunk at
+       full lr forever — measured +-1e7 logits after 340k iterations on
+       the room0-format run. Past |x| = 24 the output therefore DECLINES
+       (rationally, saturating at 8 - 24 = -16): "more saturated" stops
+       being representable, so the task loss itself rises beyond the fold
+       and pulls the weights back — the restoring gradient arrives
+       through the ordinary loss pathway at task-gradient scale (no
+       hand-tuned penalty to fight Adam's second-moment estimate), and
+       sigmoid' stays alive on the whole fold branch (output >= -16).
+       A weight parked on the far branch still renders its correct color
+       (the fold makes the map two-to-one, deliberately). Targets are
+       additionally clipped to the 8-bit band in mapper._map_loss so L1
+       optima sit at finite logits in the first place.
     """
-    return x / (1.0 + jnp.abs(x) / limit)
+    a = jnp.abs(x)
+    core = x / (1.0 + a / _CLAMP_LIMIT)
+    k_val = _CLAMP_KNEE / (1.0 + _CLAMP_KNEE / _CLAMP_LIMIT)      # = 8
+    slope = 1.0 / (1.0 + _CLAMP_KNEE / _CLAMP_LIMIT) ** 2         # = 1/9
+    span = 2.0 * _CLAMP_LIMIT                                     # = 24
+    excess = jnp.maximum(a - _CLAMP_KNEE, 0.0)
+    decline = span * excess / (excess + span / slope)   # (0, 24), slope 1/9
+    return jnp.where(a <= _CLAMP_KNEE, core,
+                     jnp.sign(x) * (k_val - decline))
 
 
 def render_batch_ray(params, map_pos, grid, feats,
