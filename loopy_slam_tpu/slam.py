@@ -1418,10 +1418,16 @@ class LoopySLAM:
                       f"pts={int(self.map_state.count)} "
                       f"segs={len(self.fm.fragments)}]",
                       file=sys.stderr, flush=True)
+            t_f = time.perf_counter()
             _, color_np, depth_np, gt_c2w = self.dataset[idx]
+            self.timings.setdefault("data", []).append(
+                time.perf_counter() - t_f)
+            t_f = time.perf_counter()
             color, depth = _upload_frame(color_np, depth_np)
             self.gt_c2w[idx] = gt_c2w
             self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
+            self.timings.setdefault("upload", []).append(
+                time.perf_counter() - t_f)
 
             if idx <= 1 or self.cfg["tracking"]["gt_camera"]:
                 self.estimate_c2w[idx] = gt_c2w
@@ -1431,10 +1437,13 @@ class LoopySLAM:
                     idx, color, depth, color_np, depth_np=depth_np)
                 self.timings["track"].append(time.perf_counter() - t0)
                 if self.tracking_vis is not None:
+                    t_f = time.perf_counter()
                     self.tracking_vis.vis(
                         idx, self.topts.iters - 1, depth_np, color_np,
                         self.estimate_c2w[idx],
                         r_query_map=self.cur_r_query)
+                    self.timings.setdefault("vis", []).append(
+                        time.perf_counter() - t_f)
 
             if idx % self.every_frame == 0 or idx == self.n_img - 1:
                 if self.verbose:
@@ -1449,11 +1458,14 @@ class LoopySLAM:
                                 else self.map_state).feat[0, 0])
                 self.timings["map"].append(time.perf_counter() - t0)
                 if self.mapping_vis is not None:
+                    t_f = time.perf_counter()
                     self.mapping_vis.vis(
                         idx, self.cfg["mapping"]["iters"] - 1,
                         depth_np, color_np,
                         self.estimate_c2w[idx],
                         r_query_map=self.cur_r_query)
+                    self.timings.setdefault("vis", []).append(
+                        time.perf_counter() - t_f)
                 if (idx == self.n_img - 1 and self.cfg["mapping"]["color_refine"]
                         and not stop):
                     if self.verbose:
@@ -1489,6 +1501,12 @@ class LoopySLAM:
             if mp:
                 print(f"mapping:  n={len(mp)} median "
                       f"{np.median(mp)*1e3:.0f} ms")
+            for name in ("data", "upload", "vis"):
+                v = self.timings.get(name, [])
+                if v:
+                    print(f"{name}: n={len(v)} median "
+                          f"{np.median(v)*1e3:.0f} ms "
+                          f"total {np.sum(v):.0f} s")
         self._sync_eval_state()
         return {
             "estimate_c2w": self.estimate_c2w[:idx + 1],
