@@ -85,6 +85,11 @@ DEFAULTS: Dict[str, Any] = {
         "lr": 0.002,
         "pixels": 200,
         "iters": 20,
+        # TPU perf: refresh the k-NN (and the gathered neighbor features)
+        # every N pose iterations instead of every iteration — the pose
+        # moves sub-mm per Adam step, so neighbor sets are near-invariant
+        # within a block. 0 disables (reference-exact per-iter query).
+        "knn_refresh": 10,
     },
     "mapping": {
         "filter_before_add_points": True,
@@ -120,6 +125,11 @@ DEFAULTS: Dict[str, Any] = {
         "iters": 400,
         "save_rendered_image": True,
         "min_iter_ratio": 0.95,
+        # TPU perf: precompute k-NN once per optimizer chunk over a pool of
+        # pixel_pool_factor * pixels rays, then subsample per iteration
+        # (the map and poses are fixed across a mapping frame, so neighbor
+        # sets are loop-invariant). 0 disables (reference-exact resampling).
+        "pixel_pool_factor": 8,
         "init": {
             "geometry": {"decoders_lr": 0.001, "geometry_lr": 0.03, "color_lr": 0.0},
             "color": {"decoders_lr": 0.005, "geometry_lr": 0.005, "color_lr": 0.005},

@@ -48,6 +48,7 @@ class MapperOptions(NamedTuple):
     fy: float = 600.0
     cx: float = 599.5
     cy: float = 339.5
+    pixel_pool_factor: int = 8
 
     @staticmethod
     def from_cfg(cfg):
@@ -61,6 +62,7 @@ class MapperOptions(NamedTuple):
             encode_exposure=cfg["model"]["encode_exposure"],
             H=cam["H"] - 2 * e, W=cam["W"] - 2 * e,
             fx=cam["fx"], fy=cam["fy"], cx=cam["cx"] - e, cy=cam["cy"] - e,
+            pixel_pool_factor=int(m.get("pixel_pool_factor", 8)),
         )
 
 
@@ -252,6 +254,168 @@ def _map_loss(trainable, frozen_struct, map_pos, grid, kf_color, kf_depth,
     return loss, (geo_loss, col_loss, jnp.sum(m).astype(jnp.float32))
 
 
+class _NeighborPool(NamedTuple):
+    """Loop-invariant per-ray data precomputed once per optimizer chunk.
+
+    During a (non-BA) mapping frame the camera poses, sample depths and the
+    point buffer are all FIXED — only the features/decoders move — so every
+    iteration's k-NN query returns the same (D, I) for the same pixel. The
+    reference (and the round-1 port) nevertheless re-ran the spatial-hash
+    query + candidate selection every iteration (~4 ms of an ~11 ms
+    iteration). Instead: sample a pool of pixel_pool_factor * pix_per_frame
+    rays per window frame once per chunk, run the k-NN once over the pool,
+    and have each iteration draw pix_per_frame rays per frame from the pool
+    (uniform with replacement). Statistically this is SGD over a per-chunk
+    fixed sample set instead of fresh pixels per iteration; the pool is
+    refreshed every device chunk (mapping.device_chunk_iters).
+
+    All arrays keep the window-frame leading axis (F, P, ...) so the
+    exposure path can reshape per frame.
+    """
+
+    pts: jnp.ndarray     # (F, P, S, 3) sample positions
+    z_vals: jnp.ndarray  # (F, P, S)
+    d: jnp.ndarray       # (F, P) gt depth
+    c: jnp.ndarray       # (F, P, 3) gt color
+    valid: jnp.ndarray   # (F, P) bool
+    rd: jnp.ndarray      # (F, P, 3) ray directions (view-direction path)
+    rq: Optional[jnp.ndarray]  # (F, P) per-ray query radius or None
+    D: jnp.ndarray       # (F, P, S*k) index-structure squared distances
+    I: jnp.ndarray       # (F, P, S*k) int32 neighbor ids
+    nn: jnp.ndarray      # (F, P, S) int32 in-radius neighbor counts
+
+
+def _build_pool(map_pos, grid, kf_color, kf_depth, kf_c2w, kf_rq, key,
+                opts: MapperOptions, ropts: RenderOptions, P: int,
+                knn_chunk: int = 32768) -> _NeighborPool:
+    """Sample the ray pool and run the k-NN once over all its samples.
+
+    The query is chunked with lax.map so the (Q, 27*M*4) gathered-candidate
+    intermediate stays bounded (a full 400k-sample pool would materialize
+    ~2.7 GB at once)."""
+    from ..ops import knn
+    from ..ops.sampling import surface_z_vals
+
+    F = kf_color.shape[0]
+    S, k = ropts.n_surface, ropts.nn_num
+    keys = jax.random.split(key, F)
+
+    def per_frame(kf, c2w, depth, color):
+        return sample_rays(kf, 0, opts.H, 0, opts.W, P, c2w, depth, color,
+                           opts.fx, opts.fy, opts.cx, opts.cy)
+
+    ro, rd, d, c, valid, ii, jj = jax.vmap(per_frame)(
+        keys, kf_c2w, kf_depth, kf_color)
+    rq = None
+    if kf_rq is not None:
+        rq = jnp.take_along_axis(
+            kf_rq.reshape(F, -1),
+            (jj * opts.W + ii).astype(jnp.int32), axis=1)  # (F, P)
+
+    # z-vals from the full flattened pool (same batch-statistics semantics
+    # for zero-depth rays as the per-iteration path; those rays are masked
+    # out of the loss either way)
+    z = surface_z_vals(d.reshape(-1), valid.reshape(-1), S,
+                       ropts.near_end_surface, ropts.far_end_surface,
+                       ropts.near_end).reshape(F, P, S)
+    pts = ro[..., None, :] + rd[..., None, :] * z[..., None]  # (F,P,S,3)
+
+    N = F * P * S
+    pts_flat = pts.reshape(N, 3)
+    rq_flat = (jnp.full((N,), ropts.radius_query, jnp.float32)
+               if rq is None else jnp.repeat(rq.reshape(-1), S, axis=0))
+    n_ch = -(-N // knn_chunk)
+    pad = n_ch * knn_chunk - N
+    if pad:
+        pts_flat = jnp.pad(pts_flat, ((0, pad), (0, 0)))
+        rq_flat = jnp.pad(rq_flat, (0, pad), constant_values=1.0)
+
+    def q(args):
+        p_c, r_c = args
+        return knn.query(grid, map_pos, p_c, k, r_c,
+                         ropts.table_size, ropts.max_per_cell)
+
+    D, I, nn = jax.lax.map(
+        q, (pts_flat.reshape(n_ch, knn_chunk, 3),
+            rq_flat.reshape(n_ch, knn_chunk)))
+    D = D.reshape(-1, k)[:N].reshape(F, P, S * k)
+    I = I.reshape(-1, k)[:N].reshape(F, P, S * k)
+    nn = nn.reshape(-1)[:N].reshape(F, P, S)
+    return _NeighborPool(pts=pts, z_vals=z, d=d, c=c, valid=valid, rd=rd,
+                         rq=rq, D=D, I=I, nn=nn)
+
+
+def _map_loss_pool(trainable, pool: _NeighborPool, map_pos, key, stage,
+                   opts: MapperOptions, ropts: RenderOptions,
+                   pix_per_frame: int, kf_exposure=None):
+    """One mapping iteration's loss over rays DRAWN from the precomputed
+    pool — identical math to _map_loss with the k-NN already done."""
+    from ..models.renderer import decode_neighbors, gather_featpos
+    from ..ops.compositing import composite
+
+    params = trainable["dec"]
+    feats = trainable["feat"]
+    F, P = pool.d.shape
+    S, k = ropts.n_surface, ropts.nn_num
+    kd_, kr = jax.random.split(key)
+    idx = jax.random.randint(kd_, (F, pix_per_frame), 0, P)
+    flat = (jnp.arange(F, dtype=jnp.int32)[:, None] * P + idx).reshape(-1)
+
+    def take(a):
+        return jnp.take(a.reshape((F * P,) + a.shape[2:]), flat, axis=0)
+
+    d = take(pool.d)
+    c = take(pool.c)
+    valid = take(pool.valid)
+    z_vals = take(pool.z_vals)
+    pts = take(pool.pts).reshape(-1, 3)
+    D_idx = take(pool.D).reshape(-1, k)
+    I = take(pool.I).reshape(-1, k)
+    nn = take(pool.nn).reshape(-1)
+    rq = (ropts.radius_query if pool.rq is None
+          else jnp.repeat(take(pool.rq), S, axis=0))
+    views_d = None
+    if ropts.use_view_direction:
+        views_d = jnp.repeat(take(pool.rd), S, axis=0)
+
+    med = masked_median(d, valid)
+    mx = masked_max(d, valid, fill=0.0)
+    inside = valid & (d <= jnp.minimum(10.0 * med, 1.2 * mx))
+
+    both = gather_featpos(feats, jax.lax.stop_gradient(map_pos), I)
+    exposure_feat = None  # exposure is deferred to the affine below
+    occ, rgb, has_neighbors = decode_neighbors(
+        params, pts, kr, ropts, stage, D_idx, both, nn, rq,
+        views_d=views_d, exposure_feat=exposure_feat)
+
+    R = F * pix_per_frame
+    valid_ray = jnp.sum(has_neighbors.reshape(R, S), axis=-1) >= (S // 2 + 1)
+    depth, _var, color, _ = composite(
+        rgb.reshape(R, S, 3), occ.reshape(R, S), z_vals, ropts.sigmoid_coef)
+    depth = jnp.where(d > 0, depth, 0.0)  # sample_near_pcl unsupported here
+
+    m = (d > 0) & valid_ray & jnp.isfinite(depth) & inside
+    geo_loss = jnp.sum(jnp.where(m, jnp.abs(d - depth), 0.0))
+    loss = geo_loss
+    col_loss = jnp.zeros(())
+    if stage == "color":
+        if opts.encode_exposure:
+            from ..models.decoder import exposure_affine
+            from ..models.renderer import soft_clamp_logits
+
+            latents = jnp.concatenate(
+                [kf_exposure[:-1], trainable["exp"][None]], axis=0)
+            rots, transs = jax.vmap(
+                lambda e: exposure_affine(params["col"], e))(latents)
+            cf = color.reshape(F, pix_per_frame, 3)
+            cf = jnp.einsum("fpc,fcd->fpd", cf, rots) + transs[:, None, :]
+            color = jax.nn.sigmoid(soft_clamp_logits(cf)).reshape(-1, 3)
+        c = jnp.clip(c, 1.0 / 510.0, 1.0 - 1.0 / 510.0)  # see _map_loss
+        col_loss = jnp.sum(jnp.where(m[:, None], jnp.abs(c - color), 0.0))
+        loss = loss + opts.w_color_loss * col_loss
+    return loss, (geo_loss, col_loss, jnp.sum(m).astype(jnp.float32))
+
+
 def _optimize_map_impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
                        grid, kf_color, kf_depth, kf_c2w, kf_rq, key,
                        n_geo_iters, n_col_iters, lrs_geo, lrs_col,
@@ -286,8 +450,22 @@ def _optimize_map_impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
 
     it0 = jnp.zeros((), jnp.int32) if iter_offset is None else iter_offset
 
+    # loop-invariant k-NN: poses and the point buffer are fixed across the
+    # chunk unless BA moves poses or a sharded eval_fn owns the neighbors
+    use_pool = (opts.pixel_pool_factor > 0 and "cams" not in trainable
+                and eval_fn_builder is None and not ropts.sample_near_pcl)
+    pool = None
+    if use_pool:
+        kpool, key = jax.random.split(key)
+        if psum_axis is not None:
+            kpool = jax.random.fold_in(kpool, jax.lax.axis_index(psum_axis))
+        pool = _build_pool(map_pos, grid, kf_color, kf_depth, kf_c2w, kf_rq,
+                           kpool, opts, ropts,
+                           opts.pixel_pool_factor * pix_per_frame)
+
     def phase(stage, n_iters, lrs, carry):
         grad_fn = jax.value_and_grad(_map_loss, has_aux=True)
+        grad_fn_pool = jax.value_and_grad(_map_loss_pool, has_aux=True)
 
         def body(_, carry):
             trainable, st, k, it, _ = carry
@@ -295,11 +473,16 @@ def _optimize_map_impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
             if psum_axis is not None:
                 kiter = jax.random.fold_in(
                     kiter, jax.lax.axis_index(psum_axis))
-            (loss, aux), g = grad_fn(trainable, None, map_pos, grid,
-                                     kf_color, kf_depth, kf_c2w, kf_rq,
-                                     kiter, stage, opts, ropts,
-                                     pix_per_frame, kf_exposure,
-                                     eval_fn_builder)
+            if use_pool:
+                (loss, aux), g = grad_fn_pool(trainable, pool, map_pos,
+                                              kiter, stage, opts, ropts,
+                                              pix_per_frame, kf_exposure)
+            else:
+                (loss, aux), g = grad_fn(trainable, None, map_pos, grid,
+                                         kf_color, kf_depth, kf_c2w, kf_rq,
+                                         kiter, stage, opts, ropts,
+                                         pix_per_frame, kf_exposure,
+                                         eval_fn_builder)
             if psum_axis is not None:
                 if feat_grad_local:
                     gf = g.pop("feat")

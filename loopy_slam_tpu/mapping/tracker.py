@@ -51,6 +51,7 @@ class TrackOptions(NamedTuple):
     fy: float = 600.0
     cx: float = 599.5
     cy: float = 339.5
+    knn_refresh: int = 10
 
     @staticmethod
     def from_cfg(cfg):
@@ -67,6 +68,7 @@ class TrackOptions(NamedTuple):
             H=cam["H"] - 2 * e, W=cam["W"] - 2 * e,
             fx=cam["fx"], fy=cam["fy"],
             cx=cam["cx"] - e, cy=cam["cy"] - e,
+            knn_refresh=int(t.get("knn_refresh", 10)),
         )
 
 
@@ -141,6 +143,112 @@ def tracking_loss(opt_vars, params, map_pos, grid, feats,
     return loss, (geo, col, jnp.sum(mask))
 
 
+def _build_track_cache(cam7, map_pos, grid, feats, gt_color, gt_depth, key,
+                       opts: TrackOptions, ropts: RenderOptions,
+                       si=None, sj=None, r_query=None):
+    """Per-refresh-block tracking cache: pixels, z-vals, neighbor ids AND
+    gathered neighbor features.
+
+    During tracking the map (positions + features) is FIXED — only the pose
+    moves, and it moves sub-millimeter per Adam step. So for a block of
+    knn_refresh iterations: pick the block's pixels once, run the k-NN once
+    at the block-start pose, and gather the neighbor [features || position]
+    rows once. Each iteration then only recomputes sample positions from
+    the CURRENT pose and re-derives distances/weights differentiably from
+    the cached neighbor positions (exactly what decode_neighbors does) —
+    the entire index query, candidate selection and HBM row gather drop out
+    of the iteration. Neighbor-set staleness is bounded by the pose motion
+    within a block (~1 mm at 8 cm query radius) and resets every refresh.
+    """
+    from ..ops import knn
+    from ..ops.camera import c2w_from_tensor, rays_from_uv
+    from ..ops.sampling import sample_pixels, surface_z_vals
+    from ..models.renderer import gather_featpos
+
+    c2w = c2w_from_tensor(cam7)
+    if si is not None:
+        pick = jax.random.randint(key, (opts.pixels,), 0, si.shape[0])
+        i = si[pick].astype(jnp.float32)
+        j = sj[pick].astype(jnp.float32)
+        ii, jj = i.astype(jnp.int32), j.astype(jnp.int32)
+        d, c = gt_depth[jj, ii], gt_color[jj, ii]
+    else:
+        i, j, d, c = sample_pixels(
+            key, opts.ignore_edge_H, opts.H - opts.ignore_edge_H,
+            opts.ignore_edge_W, opts.W - opts.ignore_edge_W,
+            opts.pixels, gt_depth, gt_color)
+        ii, jj = i.astype(jnp.int32), j.astype(jnp.int32)
+    valid = d > 0
+    if opts.depth_limit:
+        valid = valid & (d < 5.0)
+    rq = None if r_query is None else r_query[jj, ii]
+    inside = inside_mask_from_depth(d, valid) & valid
+    S = ropts.n_surface
+    z = surface_z_vals(d, inside, S, ropts.near_end_surface,
+                       ropts.far_end_surface, ropts.near_end)
+    rays_o, rays_d = rays_from_uv(i, j, c2w, opts.fx, opts.fy,
+                                  opts.cx, opts.cy)
+    pts = (rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+           ).reshape(-1, 3)
+    rq_s = (ropts.radius_query if rq is None
+            else jnp.repeat(rq, S, axis=0))
+    D, I, nn = knn.query(grid, map_pos, pts, ropts.nn_num, rq_s,
+                         ropts.table_size, ropts.max_per_cell)
+    both = gather_featpos(feats, map_pos, I)
+    return {"i": i, "j": j, "d": d, "c": c, "inside": inside, "z": z,
+            "rq": rq, "D": D, "both": both, "nn": nn}
+
+
+def tracking_loss_cached(opt_vars, params, cache, key, opts: TrackOptions,
+                         ropts: RenderOptions):
+    """tracking_loss with the k-NN + feature gather served from the block
+    cache; only pose-dependent quantities are recomputed."""
+    from ..models.renderer import decode_neighbors
+    from ..ops.camera import c2w_from_tensor, rays_from_uv
+    from ..ops.compositing import composite
+
+    cam7 = opt_vars["cam"]
+    exposure_feat = None
+    if opts.encode_exposure:
+        params = {**params, "col": {**params["col"],
+                                    "exposure": opt_vars["exp_mlp"]}}
+        exposure_feat = opt_vars["exp_feat"]
+    c2w = c2w_from_tensor(cam7)
+    S = ropts.n_surface
+    d, c, inside, z = cache["d"], cache["c"], cache["inside"], cache["z"]
+    rays_o, rays_d = rays_from_uv(cache["i"], cache["j"], c2w,
+                                  opts.fx, opts.fy, opts.cx, opts.cy)
+    pts = (rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+           ).reshape(-1, 3)
+    views_d = (jnp.repeat(rays_d, S, axis=0)
+               if ropts.use_view_direction else None)
+    rq = (ropts.radius_query if cache["rq"] is None
+          else jnp.repeat(cache["rq"], S, axis=0))
+    occ, rgb, _has = decode_neighbors(
+        params, pts, key, ropts, "color", cache["D"], cache["both"],
+        cache["nn"], rq, views_d=views_d, exposure_feat=exposure_feat)
+    R = opts.pixels
+    depth, var, color, _ = composite(
+        rgb.reshape(R, S, 3), occ.reshape(R, S), z, ropts.sigmoid_coef)
+    depth = jnp.where(d > 0, depth, 0.0)
+
+    var = jax.lax.stop_gradient(var)
+    nan_mask = jnp.isfinite(depth) & jnp.isfinite(var)
+    tmp = jnp.abs(d - depth) / jnp.sqrt(var + 1e-10)
+    if opts.handle_dynamic:
+        gate = tmp < 10.0 * masked_mean(tmp, inside)
+    else:
+        gate = jnp.abs(d - depth) < 10.0 * masked_median(jnp.abs(d - depth),
+                                                         inside)
+    mask = gate & (d > 0) & nan_mask & inside
+
+    geo = jnp.sum(jnp.where(mask, jnp.clip(tmp, 0.0, 1e3), 0.0))
+    col = jnp.sum(jnp.where(mask[:, None], jnp.abs(c - color), 0.0))
+    loss = geo + (opts.w_color_loss * col
+                  if opts.use_color_in_tracking else 0.0)
+    return loss, (geo, col, jnp.sum(mask))
+
+
 def _track_frame_impl(params, map_pos, grid, feats,
                       gt_color, gt_depth, cam7_init, key,
                       opts: TrackOptions, ropts: RenderOptions,
@@ -171,30 +279,75 @@ def _track_frame_impl(params, map_pos, grid, feats,
         lr_tree["exp_mlp"] = jax.tree.map(lambda _: 0.001,
                                           params["col"]["exposure"])
 
-    def body(it, carry):
-        opt_vars, st, best_loss, best_cam, first_loss, k = carry
-        k, kiter = jax.random.split(k)
-        if psum_axis is not None:
-            kiter = jax.random.fold_in(kiter,
-                                       jax.lax.axis_index(psum_axis))
-        (loss, _aux), g = grad_fn(opt_vars, params, map_pos, grid, feats,
-                                  gt_color, gt_depth, kiter,
-                                  opts, ropts, si, sj, r_query,
-                                  eval_fn_builder)
-        if psum_axis is not None:
-            g = jax.lax.psum(g, psum_axis)
-            loss = jax.lax.psum(loss, psum_axis)
-        opt_vars, st = adam.update(opt_vars, g, st, lr_tree)
-        better = loss < best_loss
-        best_loss = jnp.where(better, loss, best_loss)
-        best_cam = jnp.where(better, opt_vars["cam"], best_cam)
-        first_loss = jnp.where(it == 0, loss, first_loss)
-        return opt_vars, st, best_loss, best_cam, first_loss, k
-
+    use_cache = (opts.knn_refresh > 0 and eval_fn_builder is None
+                 and not ropts.sample_near_pcl)
     init = (opt_vars, adam.init(opt_vars), jnp.inf, cam7_init,
             jnp.zeros(()), key)
-    opt_vars, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(
-        0, opts.iters, body, init)
+
+    if use_cache:
+        refresh = opts.knn_refresh
+        n_blocks = -(-opts.iters // refresh)
+        grad_fn_c = jax.value_and_grad(tracking_loss_cached, has_aux=True)
+
+        def outer(blk, carry):
+            opt_vars, st, best_loss, best_cam, first_loss, k = carry
+            k, kblk = jax.random.split(k)
+            if psum_axis is not None:
+                kblk = jax.random.fold_in(kblk,
+                                          jax.lax.axis_index(psum_axis))
+            cache = _build_track_cache(
+                opt_vars["cam"], map_pos, grid, feats, gt_color, gt_depth,
+                kblk, opts, ropts, si, sj, r_query)
+
+            def body(it_in, carry2):
+                opt_vars, st, best_loss, best_cam, first_loss, k2 = carry2
+                k2, kiter = jax.random.split(k2)
+                if psum_axis is not None:
+                    kiter = jax.random.fold_in(
+                        kiter, jax.lax.axis_index(psum_axis))
+                (loss, _aux), g = grad_fn_c(opt_vars, params, cache, kiter,
+                                            opts, ropts)
+                if psum_axis is not None:
+                    g = jax.lax.psum(g, psum_axis)
+                    loss = jax.lax.psum(loss, psum_axis)
+                opt_vars, st = adam.update(opt_vars, g, st, lr_tree)
+                better = loss < best_loss
+                best_loss = jnp.where(better, loss, best_loss)
+                best_cam = jnp.where(better, opt_vars["cam"], best_cam)
+                first_loss = jnp.where((blk == 0) & (it_in == 0), loss,
+                                       first_loss)
+                return opt_vars, st, best_loss, best_cam, first_loss, k2
+
+            n_in = jnp.minimum(refresh, opts.iters - blk * refresh)
+            return jax.lax.fori_loop(
+                0, n_in, body,
+                (opt_vars, st, best_loss, best_cam, first_loss, k))
+
+        opt_vars, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(
+            0, n_blocks, outer, init)
+    else:
+        def body(it, carry):
+            opt_vars, st, best_loss, best_cam, first_loss, k = carry
+            k, kiter = jax.random.split(k)
+            if psum_axis is not None:
+                kiter = jax.random.fold_in(kiter,
+                                           jax.lax.axis_index(psum_axis))
+            (loss, _aux), g = grad_fn(opt_vars, params, map_pos, grid,
+                                      feats, gt_color, gt_depth, kiter,
+                                      opts, ropts, si, sj, r_query,
+                                      eval_fn_builder)
+            if psum_axis is not None:
+                g = jax.lax.psum(g, psum_axis)
+                loss = jax.lax.psum(loss, psum_axis)
+            opt_vars, st = adam.update(opt_vars, g, st, lr_tree)
+            better = loss < best_loss
+            best_loss = jnp.where(better, loss, best_loss)
+            best_cam = jnp.where(better, opt_vars["cam"], best_cam)
+            first_loss = jnp.where(it == 0, loss, first_loss)
+            return opt_vars, st, best_loss, best_cam, first_loss, k
+
+        opt_vars, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(
+            0, opts.iters, body, init)
     ef_out = opt_vars.get("exp_feat")
     mlp_out = opt_vars.get("exp_mlp")
     # the 4x4 pose is produced in-program: converting on the host would

@@ -284,8 +284,13 @@ def render_batch_ray(params, map_pos, grid, feats,
 
         far = jnp.maximum(masked_max(
             z_vals[:, -1], ray_valid & (gt_depth > 0), fill=0.0), 1.0)
+        # probe with DETACHED rays (reference Renderer.py:153 clones +
+        # detaches before npc.sample_near_pcl): z-vals carry no pose
+        # tangent, and the index query's selection kernel has no JVP rule
         z_near, invalid = sample_near_pcl_z_vals_raw(
-            map_pos, grid, rays_o, rays_d, opts.near_end, far, S,
+            map_pos, grid, jax.lax.stop_gradient(rays_o),
+            jax.lax.stop_gradient(rays_d), opts.near_end,
+            jax.lax.stop_gradient(far), S,
             opts.radius_query, opts.nn_num, opts.table_size,
             opts.max_per_cell)
         z_vals_override = z_near
