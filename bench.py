@@ -19,7 +19,8 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# the persistent compile cache lives in <repo>/.cache/jax (set by
+# loopy_slam_tpu.__init__) so warm compiles survive across sessions
 
 import numpy as np  # noqa: E402
 
@@ -39,11 +40,22 @@ def main():
     cfg["data"]["output"] = "/tmp/loopy_bench_out"
     cfg["verbose"] = False
     cfg["mapping"]["color_refine"] = False
+    if os.environ.get("BENCH_OVERRIDES"):
+        # ablation hook: BENCH_OVERRIDES='{"tracking": {"knn_refresh": 0}}'
+        from loopy_slam_tpu.config import update_recursive
+
+        update_recursive(cfg, json.loads(os.environ["BENCH_OVERRIDES"]))
 
     t_setup = time.perf_counter()
     slam = LoopySLAM(cfg, output=cfg["data"]["output"])
+    t_run = time.perf_counter()
     result = slam.run()
-    total = time.perf_counter() - t_setup
+    t_done = time.perf_counter()
+    total = t_done - t_setup
+    print(f"setup: {t_run - t_setup:.1f}s  run: {t_done - t_run:.1f}s  "
+          f"phases: " + " ".join(
+              f"{k}={sum(v):.1f}s" for k, v in slam.timings.items()),
+          file=sys.stderr)
 
     track = np.array(slam.timings["track"])
     mp = np.array(slam.timings["map"])
@@ -85,6 +97,17 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }))
+
+    # executable quality gate (round-3): speed only counts AT matched
+    # accuracy — round 2 shipped a 1.7x fps win that silently cost 7x ATE.
+    # The gate makes that trade loud: bench FAILS if the bench-scene ATE
+    # exceeds the gate (r01/r03 measured ~0.0010-0.0015 m).
+    gate = float(os.environ.get("BENCH_ATE_GATE_M", 0.002))
+    if stats["rmse"] > gate:
+        print(f"QUALITY GATE FAILED: ate_rmse_m {stats['rmse']:.5f} > "
+              f"{gate} — fps above is NOT at matched accuracy",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

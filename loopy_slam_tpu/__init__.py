@@ -18,3 +18,33 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    The SLAM session compiles a handful of large programs (the staged
+    mapping optimizer, the tracking loop, insertion variants); on the
+    remote TPU backend first-compiles cost minutes and dominated bench
+    wall-clock (BASELINE.md round-2: 201 s first-map + 149 s final-frame
+    of a 453 s run). Executable serialization works on this backend, so a
+    warm cache turns those into millisecond loads. The cache lives inside
+    the repo (not /tmp) so it survives across sessions; JAX's env var
+    still wins if the user set one.
+    """
+    import os
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".cache", "jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except (OSError, ImportError):  # read-only install dir etc.
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -34,6 +34,9 @@ DEFAULTS: Dict[str, Any] = {
     "model": {
         "c_dim": 32,
         "exposure_dim": 8,
+        # bf16 MLP-trunk matmuls with f32 accumulation (TPU perf; Fourier
+        # phases stay f32). Applied process-wide at session construction.
+        "bf16_trunks": True,
         "pos_embedding_method": "fourier",
         "encode_rel_pos_in_col": True,
         "encode_exposure": False,
@@ -88,8 +91,16 @@ DEFAULTS: Dict[str, Any] = {
         # TPU perf: refresh the k-NN (and the gathered neighbor features)
         # every N pose iterations instead of every iteration — the pose
         # moves sub-mm per Adam step, so neighbor sets are near-invariant
-        # within a block. 0 disables (reference-exact per-iter query).
+        # within a block. Each block queries a pool_factor*pixels ray POOL
+        # so every iteration still draws a fresh pixel batch from it
+        # (freezing one batch per block cost 7x bench ATE in round 2).
+        # knn_refresh=0 disables (reference-exact per-iter query). Blocks
+        # follow a warmup schedule (2, 4, 8, refresh, ...): the first
+        # cache is built at the motion-model pose where staleness is
+        # worst. Measured r3 bench trade (BASELINE.md): exact 0.00131 m
+        # ATE @ 1.21 fps vs pooled 0.00172 m @ 1.74 fps.
         "knn_refresh": 10,
+        "pool_factor": 4,
     },
     "mapping": {
         "filter_before_add_points": True,
@@ -129,7 +140,13 @@ DEFAULTS: Dict[str, Any] = {
         # pixel_pool_factor * pixels rays, then subsample per iteration
         # (the map and poses are fixed across a mapping frame, so neighbor
         # sets are loop-invariant). 0 disables (reference-exact resampling).
+        # device_chunk_iters bounds one device program AND sets the pool
+        # refresh cadence: at 250 each pool ray was reused ~31x and bench
+        # no-align ATE degraded 4x (r2); at 64 the pool is accuracy-
+        # neutral (BASELINE.md r3 ablations) and still amortizes the
+        # query to ~1/8 of an exact iteration.
         "pixel_pool_factor": 8,
+        "device_chunk_iters": 64,
         "init": {
             "geometry": {"decoders_lr": 0.001, "geometry_lr": 0.03, "color_lr": 0.0},
             "color": {"decoders_lr": 0.005, "geometry_lr": 0.005, "color_lr": 0.005},
@@ -157,7 +174,13 @@ DEFAULTS: Dict[str, Any] = {
         "eval_img": False,
         # optional LPIPS-alex weight bundle (utils/lpips.py); None -> the
         # lpips metric is reported as None (no egress to fetch weights)
-        "lpips_weights": None,
+        # LPIPS weight bundle. The shipped default is the severity-
+        # calibrated RANDOM-FEATURE bundle (scripts/make_lpips_randfeat.py)
+        # because the official BAPPS/ImageNet calibration cannot be staged
+        # offline — values are comparable across runs of this framework,
+        # NOT to published LPIPS numbers (see BASELINE.md). Point this at a
+        # scripts/convert_lpips_weights.py bundle for the official metric.
+        "lpips_weights": "pretrained/lpips_alex_randfeat.npz",
     },
     "data": {"dim": 3, "input_folder": "", "output": "output/run"},
     # multi-chip execution (TPU-native addition): rays data-parallel over a

@@ -312,10 +312,16 @@ def _build_pool(map_pos, grid, kf_color, kf_depth, kf_c2w, kf_rq, key,
             kf_rq.reshape(F, -1),
             (jj * opts.W + ii).astype(jnp.int32), axis=1)  # (F, P)
 
-    # z-vals from the full flattened pool (same batch-statistics semantics
-    # for zero-depth rays as the per-iteration path; those rays are masked
-    # out of the loss either way)
-    z = surface_z_vals(d.reshape(-1), valid.reshape(-1), S,
+    # z-vals from the full flattened pool, gated by the same outlier mask
+    # the per-iteration path feeds surface_z_vals (render_batch_ray
+    # receives `inside`, not `valid`); the stats are over the pool rather
+    # than one iteration batch — zero-depth rays are loss-masked either way
+    dn = d.reshape(-1)
+    vn = valid.reshape(-1)
+    med = masked_median(dn, vn)
+    mx = masked_max(dn, vn, fill=0.0)
+    inside = vn & (dn <= jnp.minimum(10.0 * med, 1.2 * mx))
+    z = surface_z_vals(dn, inside, S,
                        ropts.near_end_surface, ropts.far_end_surface,
                        ropts.near_end).reshape(F, P, S)
     pts = ro[..., None, :] + rd[..., None, :] * z[..., None]  # (F,P,S,3)

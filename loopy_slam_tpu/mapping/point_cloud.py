@@ -157,16 +157,6 @@ def add_points(state: MapState, opts: MapOptions, key,
     # indexed points is the TPU-native density cap.
     gate0 = cand_valid & (nn_count == 0)
     M = state.grid.cell_data.shape[1]
-    cell_h = knn._hash_cells(knn._cell_of(pts_gt, state.grid.cell_size),
-                             opts.table_size)
-    key_h = jnp.where(gate0, cell_h, jnp.int32(opts.table_size))
-    h_order = jnp.argsort(key_h).astype(jnp.int32)
-    cs = key_h[h_order]
-    first = jnp.searchsorted(cs, cs, side="left").astype(jnp.int32)
-    rank_sorted = jnp.arange(A, dtype=jnp.int32) - first
-    cell_rank = jnp.zeros(A, jnp.int32).at[h_order].set(rank_sorted)
-    gate = gate0 & (state.grid.cell_fill[cell_h]
-                    + cell_rank * opts.N_add < M)
 
     # stratified points along the ray around the depth reading
     if opts.fix_interval_when_add_along_ray:
@@ -176,6 +166,31 @@ def add_points(state: MapState, opts: MapOptions, key,
         d = gt_depth[:, None]
         z = opts.near_end_surface * d * (1.0 - t) + opts.far_end_surface * d * t
     new_pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]  # (A,N,3)
+
+    # Row-capacity gate over EVERY spawned point's cell (round-3 fix): the
+    # N_add points spread +-0.04 d along the ray — at full scale ~+-10 cm
+    # vs 8-16 cm cells — so they routinely straddle into a NEIGHBORING cell
+    # of the location's own. Gating only the location cell (the round-2
+    # form) let those strays land in full rows and be dropped by
+    # knn.insert: the steady 35-39 knn_dropped/frame on room0_1k. A
+    # location is accepted only if all N_add spawned points have free
+    # slots; same-batch contenders count each other via a per-hashed-row
+    # rank (conservative: ranks are over all gate0 candidates' points, so
+    # a rejected location still occupies its rank this batch).
+    AN = A * opts.N_add
+    cell_h3 = knn._hash_cells(
+        knn._cell_of(new_pts.reshape(AN, 3), state.grid.cell_size),
+        opts.table_size)  # (A*N,)
+    key_h = jnp.where(jnp.repeat(gate0, opts.N_add), cell_h3,
+                      jnp.int32(opts.table_size))
+    h_order = jnp.argsort(key_h).astype(jnp.int32)
+    cs = key_h[h_order]
+    first = jnp.searchsorted(cs, cs, side="left").astype(jnp.int32)
+    rank_sorted = jnp.arange(AN, dtype=jnp.int32) - first
+    cell_rank = jnp.zeros(AN, jnp.int32).at[h_order].set(rank_sorted)
+    fits = (state.grid.cell_fill[cell_h3] + cell_rank < M).reshape(
+        A, opts.N_add)
+    gate = gate0 & jnp.all(fits, axis=1)
 
     # compacting scatter: location a -> slots base[a] .. base[a]+N_add-1
     slot_rank = jnp.cumsum(gate.astype(jnp.int32)) - 1  # rank among gated
@@ -245,16 +260,23 @@ def sample_near_pcl_z_vals(state: MapState, opts: MapOptions,
 
 def sample_near_pcl_z_vals_raw(pos, grid, rays_o, rays_d, near, far,
                                num: int, radius_query, nn_num: int,
-                               table_size: int, max_per_cell: int):
+                               table_size: int, max_per_cell: int,
+                               occupied_fn=None):
+    """occupied_fn(pts) -> bool (N,) overrides the local-grid occupancy
+    probe — the map-sharded path supplies each-shard-probes-its-own-cells
+    + psum (parallel/map_shard.py), which sees the GLOBAL point set."""
     R = rays_o.shape[0]
     intervals = 25
     t = jnp.linspace(0.0, 1.0, intervals)
     z_probe = near * (1.0 - t) + far * t  # far may be traced
     pts = (rays_o[:, None, :] + rays_d[:, None, :] * z_probe[None, :, None]
            ).reshape(-1, 3)
-    _, _, nn_count = knn.query(grid, pos, pts, nn_num, radius_query,
-                               table_size, max_per_cell)
-    occupied = (nn_count > 0).reshape(R, intervals)
+    if occupied_fn is None:
+        _, _, nn_count = knn.query(grid, pos, pts, nn_num, radius_query,
+                                   table_size, max_per_cell)
+        occupied = (nn_count > 0).reshape(R, intervals)
+    else:
+        occupied = occupied_fn(pts).reshape(R, intervals)
     n_occ = jnp.sum(occupied, axis=-1)
     invalid = n_occ < 2
     first = jnp.argmax(occupied, axis=-1)

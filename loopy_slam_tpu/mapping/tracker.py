@@ -52,6 +52,7 @@ class TrackOptions(NamedTuple):
     cx: float = 599.5
     cy: float = 339.5
     knn_refresh: int = 10
+    pool_factor: int = 4
 
     @staticmethod
     def from_cfg(cfg):
@@ -69,6 +70,7 @@ class TrackOptions(NamedTuple):
             fx=cam["fx"], fy=cam["fy"],
             cx=cam["cx"] - e, cy=cam["cy"] - e,
             knn_refresh=int(t.get("knn_refresh", 10)),
+            pool_factor=max(1, int(t.get("pool_factor", 4))),
         )
 
 
@@ -146,28 +148,37 @@ def tracking_loss(opt_vars, params, map_pos, grid, feats,
 def _build_track_cache(cam7, map_pos, grid, feats, gt_color, gt_depth, key,
                        opts: TrackOptions, ropts: RenderOptions,
                        si=None, sj=None, r_query=None):
-    """Per-refresh-block tracking cache: pixels, z-vals, neighbor ids AND
-    gathered neighbor features.
+    """Per-refresh-block tracking POOL: a pool_factor*pixels ray pool with
+    z-vals, neighbor ids and gathered neighbor features computed once.
 
     During tracking the map (positions + features) is FIXED — only the pose
     moves, and it moves sub-millimeter per Adam step. So for a block of
-    knn_refresh iterations: pick the block's pixels once, run the k-NN once
-    at the block-start pose, and gather the neighbor [features || position]
-    rows once. Each iteration then only recomputes sample positions from
-    the CURRENT pose and re-derives distances/weights differentiably from
-    the cached neighbor positions (exactly what decode_neighbors does) —
-    the entire index query, candidate selection and HBM row gather drop out
-    of the iteration. Neighbor-set staleness is bounded by the pose motion
-    within a block (~1 mm at 8 cm query radius) and resets every refresh.
+    knn_refresh iterations: sample a POOL of pool_factor*pixels pixels, run
+    the k-NN once at the block-start pose over all pool samples, and gather
+    the neighbor [features || position] rows once. Each iteration draws a
+    FRESH `pixels`-subset from the pool (uniform with replacement),
+    recomputes sample positions from the CURRENT pose and re-derives
+    distances/weights differentiably from the cached neighbor positions
+    (exactly what decode_neighbors does) — the index query, candidate
+    selection and HBM row gather amortize to ~pool_factor/knn_refresh of an
+    exact iteration's cost while every iteration still sees a fresh pixel
+    batch (fresh loss-gate statistics, decorrelated SGD noise). The round-2
+    design froze ONE `pixels` batch per block, which collapsed a
+    40-iteration frame to 4 distinct batches and regressed bench ATE 7x
+    (BENCH_r01 vs BENCH_r02); the pool restores per-iteration sampling
+    parity with the reference (Tracker.py:361-401) up to neighbor-set
+    staleness, which is bounded by pose motion within a block and resets
+    every refresh.
     """
     from ..ops import knn
     from ..ops.camera import c2w_from_tensor, rays_from_uv
     from ..ops.sampling import sample_pixels, surface_z_vals
     from ..models.renderer import gather_featpos
 
+    P = opts.pixels * opts.pool_factor
     c2w = c2w_from_tensor(cam7)
     if si is not None:
-        pick = jax.random.randint(key, (opts.pixels,), 0, si.shape[0])
+        pick = jax.random.randint(key, (P,), 0, si.shape[0])
         i = si[pick].astype(jnp.float32)
         j = sj[pick].astype(jnp.float32)
         ii, jj = i.astype(jnp.int32), j.astype(jnp.int32)
@@ -176,7 +187,7 @@ def _build_track_cache(cam7, map_pos, grid, feats, gt_color, gt_depth, key,
         i, j, d, c = sample_pixels(
             key, opts.ignore_edge_H, opts.H - opts.ignore_edge_H,
             opts.ignore_edge_W, opts.W - opts.ignore_edge_W,
-            opts.pixels, gt_depth, gt_color)
+            P, gt_depth, gt_color)
         ii, jj = i.astype(jnp.int32), j.astype(jnp.int32)
     valid = d > 0
     if opts.depth_limit:
@@ -195,14 +206,17 @@ def _build_track_cache(cam7, map_pos, grid, feats, gt_color, gt_depth, key,
     D, I, nn = knn.query(grid, map_pos, pts, ropts.nn_num, rq_s,
                          ropts.table_size, ropts.max_per_cell)
     both = gather_featpos(feats, map_pos, I)
+    k = ropts.nn_num
     return {"i": i, "j": j, "d": d, "c": c, "inside": inside, "z": z,
-            "rq": rq, "D": D, "both": both, "nn": nn}
+            "rq": rq, "D": D.reshape(P, S * k),
+            "both": both.reshape(P, S * k, -1), "nn": nn.reshape(P, S)}
 
 
 def tracking_loss_cached(opt_vars, params, cache, key, opts: TrackOptions,
                          ropts: RenderOptions):
     """tracking_loss with the k-NN + feature gather served from the block
-    cache; only pose-dependent quantities are recomputed."""
+    pool; a fresh `pixels` subset is drawn per iteration and only
+    pose-dependent quantities are recomputed."""
     from ..models.renderer import decode_neighbors
     from ..ops.camera import c2w_from_tensor, rays_from_uv
     from ..ops.compositing import composite
@@ -214,20 +228,31 @@ def tracking_loss_cached(opt_vars, params, cache, key, opts: TrackOptions,
                                     "exposure": opt_vars["exp_mlp"]}}
         exposure_feat = opt_vars["exp_feat"]
     c2w = c2w_from_tensor(cam7)
-    S = ropts.n_surface
-    d, c, inside, z = cache["d"], cache["c"], cache["inside"], cache["z"]
-    rays_o, rays_d = rays_from_uv(cache["i"], cache["j"], c2w,
+    S, k = ropts.n_surface, ropts.nn_num
+    R = opts.pixels
+    P = cache["d"].shape[0]
+    kpick, key = jax.random.split(key)
+    pick = jax.random.randint(kpick, (R,), 0, P)
+
+    def take(a):
+        return jnp.take(a, pick, axis=0)
+
+    d, c, inside, z = (take(cache["d"]), take(cache["c"]),
+                       take(cache["inside"]), take(cache["z"]))
+    D_idx = take(cache["D"]).reshape(R * S, k)
+    both = take(cache["both"]).reshape(R * S, k, -1)
+    nn = take(cache["nn"]).reshape(R * S)
+    rays_o, rays_d = rays_from_uv(take(cache["i"]), take(cache["j"]), c2w,
                                   opts.fx, opts.fy, opts.cx, opts.cy)
     pts = (rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
            ).reshape(-1, 3)
     views_d = (jnp.repeat(rays_d, S, axis=0)
                if ropts.use_view_direction else None)
     rq = (ropts.radius_query if cache["rq"] is None
-          else jnp.repeat(cache["rq"], S, axis=0))
+          else jnp.repeat(take(cache["rq"]), S, axis=0))
     occ, rgb, _has = decode_neighbors(
-        params, pts, key, ropts, "color", cache["D"], cache["both"],
-        cache["nn"], rq, views_d=views_d, exposure_feat=exposure_feat)
-    R = opts.pixels
+        params, pts, key, ropts, "color", D_idx, both,
+        nn, rq, views_d=views_d, exposure_feat=exposure_feat)
     depth, var, color, _ = composite(
         rgb.reshape(R, S, 3), occ.reshape(R, S), z, ropts.sigmoid_coef)
     depth = jnp.where(d > 0, depth, 0.0)
@@ -285,8 +310,23 @@ def _track_frame_impl(params, map_pos, grid, feats,
             jnp.zeros(()), key)
 
     if use_cache:
+        # warmup block schedule: the first cache is built at the motion-
+        # model pose, which is the FURTHEST from the optimum the pose ever
+        # is — neighbor-set staleness is worst exactly there. Short blocks
+        # early (2, 4, 8 iters), then full knn_refresh blocks: the extra
+        # 1-2 pool builds cost ~1 exact iteration while removing most of
+        # the cached path's ATE cost (measured on the 31-frame bench).
         refresh = opts.knn_refresh
-        n_blocks = -(-opts.iters // refresh)
+        lengths = []
+        left = opts.iters
+        blk_len = 2
+        while left > 0:
+            take_n = min(blk_len, refresh, left)
+            lengths.append(take_n)
+            left -= take_n
+            blk_len *= 2
+        n_blocks = len(lengths)
+        lengths_arr = jnp.asarray(lengths, jnp.int32)
         grad_fn_c = jax.value_and_grad(tracking_loss_cached, has_aux=True)
 
         def outer(blk, carry):
@@ -318,9 +358,8 @@ def _track_frame_impl(params, map_pos, grid, feats,
                                        first_loss)
                 return opt_vars, st, best_loss, best_cam, first_loss, k2
 
-            n_in = jnp.minimum(refresh, opts.iters - blk * refresh)
             return jax.lax.fori_loop(
-                0, n_in, body,
+                0, lengths_arr[blk], body,
                 (opt_vars, st, best_loss, best_cam, first_loss, k))
 
         opt_vars, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(

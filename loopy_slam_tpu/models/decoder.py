@@ -85,6 +85,30 @@ def softplus100(x):
     return jnp.logaddexp(0.0, 100.0 * x) / 100.0
 
 
+# bf16 trunk matmuls (round-3 perf lever): MLP weight/activation products
+# run with bf16 inputs and f32 accumulation, halving the MXU-feed HBM
+# traffic of the decode hot path. Fourier phases stay exact f32
+# (fourier_embed below). Trace-time switch: set once at startup (before
+# any jit) via set_bf16_trunks; flipping it later does NOT invalidate
+# already-compiled programs.
+_BF16_TRUNKS = True
+
+
+def set_bf16_trunks(enabled: bool):
+    global _BF16_TRUNKS
+    _BF16_TRUNKS = bool(enabled)
+
+
+def _mm(x, w):
+    """x @ w with optional bf16 inputs + f32 accumulation (MXU-native)."""
+    if not _BF16_TRUNKS:
+        return x @ w
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def init_decoders(key, cfg: Dict[str, Any]) -> Dict[str, Any]:
     """Initialize the full decoder parameter pytree."""
     c_dim = cfg["model"]["c_dim"]
@@ -188,11 +212,11 @@ def _trunk(layers, fc_c, out, emb, c, act):
     of that negative result."""
     h = emb
     for i in range(N_BLOCKS):
-        h = act(h @ layers[i]["w"] + layers[i]["b"])
-        h = h + (c @ fc_c[i]["w"] + fc_c[i]["b"])
+        h = act(_mm(h, layers[i]["w"]) + layers[i]["b"])
+        h = h + (_mm(c, fc_c[i]["w"]) + fc_c[i]["b"])
         if i == SKIP:
             h = jnp.concatenate([emb, h], axis=-1)
-    return h @ out["w"] + out["b"]
+    return _mm(h, out["w"]) + out["b"]
 
 
 def geo_forward(geo, p, c):
@@ -225,8 +249,8 @@ def neighbor_transform(col, feats, rel_pos):
     """Rel-pos-conditioned neighbor features (N,k,32) (decoder.py:477-485)."""
     emb = fourier_embed(rel_pos, col["B_rel"], concat_cos=True)  # (N,k,20)
     x = jnp.concatenate([emb, feats], axis=-1)
-    h = softplus100(x @ col["neigh"]["w1"] + col["neigh"]["b1"])
-    return h @ col["neigh"]["w2"] + col["neigh"]["b2"]
+    h = softplus100(_mm(x, col["neigh"]["w1"]) + col["neigh"]["b1"])
+    return _mm(h, col["neigh"]["w2"]) + col["neigh"]["b2"]
 
 
 def exposure_affine(col, exposure_feat):

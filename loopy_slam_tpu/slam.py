@@ -154,6 +154,10 @@ class LoopySLAM:
         os.makedirs(self.output, exist_ok=True)
         os.makedirs(os.path.join(self.output, "ckpts"), exist_ok=True)
 
+        from .models import decoder as decoder_mod
+
+        decoder_mod.set_bf16_trunks(cfg["model"].get("bf16_trunks", True))
+
         cam = update_cam(cfg)
         self.H, self.W = cam["H"], cam["W"]
         self.fx, self.fy = cam["fx"], cam["fy"]
@@ -276,14 +280,6 @@ class LoopySLAM:
             n_sh = n_dev if n_dev > 1 else len(jax.devices())
             n_sh = 1 << (n_sh.bit_length() - 1)  # power of two
             if n_sh > 1:
-                if cfg["rendering"]["sample_near_pcl"]:
-                    raise ValueError(
-                        "parallel.map_shard requires "
-                        "rendering.sample_near_pcl: False (the near-pcl "
-                        "probe reads the local grid only)")
-                if cfg["mapping"].get("BA", False):
-                    raise ValueError("parallel.map_shard does not support "
-                                     "bundle adjustment yet")
                 self.shard_mesh = msh.make_mesh(n_sh)
                 cap_l = max(min(self.initial_capacity,
                                 self.mopts_map.capacity) // n_sh, 2048)
@@ -1089,7 +1085,7 @@ class LoopySLAM:
         # chunk the optimization so a single device program stays bounded
         # (long single executions can trip runtime watchdogs); Adam state
         # threads across chunks, so the result is identical to one program
-        chunk = int(self.cfg["mapping"].get("device_chunk_iters", 250))
+        chunk = int(self.cfg["mapping"].get("device_chunk_iters", 64))
         outer = 5 if color_refine else 1
         adam_init_jit = _adam_init_jit()
         use_mesh = self.mesh is not None
@@ -1105,11 +1101,13 @@ class LoopySLAM:
         mshard_opt = None
         if use_mshard:
             mshard_opt = self._shard_prog(
-                ("optimize", pix_per_frame, self.encode_exposure),
+                ("optimize", pix_per_frame, self.encode_exposure,
+                 ba_active),
                 lambda: self._msh().make_map_shard_optimize(
                     self.shard_mesh, self.mopts, self.ropts_mapper,
                     pix_per_frame, self.use_dynamic_radius,
-                    with_exposure=self.encode_exposure))
+                    with_exposure=self.encode_exposure,
+                    with_ba=ba_active))
         for _ in range(outer):
             st = adam_init_jit(trainable)
             done_geo, done_col = 0, 0
@@ -1118,12 +1116,17 @@ class LoopySLAM:
                 c = min(chunk - g, n_col - done_col)
                 km = self._next_key()
                 if use_mshard:
-                    trainable, st, aux = mshard_opt(
-                        trainable, st, dec_mask, feat_mask,
-                        self._smap.pos, self._smap.count, self._smap.grid,
-                        kc, kd, kp, krq, km, self._dev(g, np.int32),
-                        self._dev(c, np.int32), lrs_geo, lrs_col,
-                        kf_exposure)
+                    args = (trainable, st, dec_mask, feat_mask,
+                            self._smap.pos, self._smap.count,
+                            self._smap.grid,
+                            kc, kd, kp, krq, km, self._dev(g, np.int32),
+                            self._dev(c, np.int32), lrs_geo, lrs_col,
+                            kf_exposure)
+                    if ba_active:
+                        args = args + (ba_row_mask, ba_lr, ba_window,
+                                       self._dev(done_geo + done_col,
+                                                 np.int32))
+                    trainable, st, aux = mshard_opt(*args)
                 elif use_mesh:
                     args = replicate(self.mesh, (
                         trainable, st, dec_mask, feat_mask,

@@ -103,7 +103,45 @@ def test_full_cell_gate_stops_densification(rng):
         state, _ = add_points(state, opts, k, rays_o, rays_d, d, c,
                               jnp.ones(n, bool))
         total_dropped = int(state.grid.n_dropped)
-    # the N_add spawn of a single gated location can overshoot the row by
-    # at most N_add-1; after saturation no further location passes the gate
-    assert total_dropped <= opts.N_add - 1
+    # round-3 per-spawned-point gate: a location is accepted only if ALL
+    # its N_add points have free row slots, so nothing is ever dropped
+    assert total_dropped == 0
     assert int(state.count) <= (opts.max_per_cell + opts.N_add - 1) * 2
+
+
+def test_straddling_spawn_gated_no_silent_drops(rng):
+    """The N_add spawn spreads over [0.98d, 1.02d] and can straddle into a
+    NEIGHBORING cell of the location's own. Round 2 gated only the
+    location's cell row, so straddling points landing in a full row were
+    silently dropped by knn.insert (the steady 35-39 knn_dropped/frame on
+    the room0_1k run). The round-3 per-spawned-point gate must reject the
+    whole location instead: n_dropped stays exactly 0."""
+    opts = OPTS._replace(max_per_cell=4, radius_add=1e-4)
+    state = init_map(opts)
+    z_axis = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+
+    # saturate the cell z in [0.4, 0.8) (cell_size 0.4) to EXACTLY
+    # max_per_cell rows: prefill with N_add=1 so the per-point gate can
+    # fill the row completely
+    n = 16
+    rays_o = jnp.zeros((n, 3), jnp.float32)
+    rays_d = jnp.tile(z_axis, (n, 1))
+    d = jnp.asarray(np.linspace(0.45, 0.75, n).astype(np.float32))
+    c = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(n, 3)).astype(np.float32))
+    state, _ = add_points(state, opts._replace(N_add=1),
+                          jax.random.PRNGKey(1),
+                          rays_o, rays_d, d, c, jnp.ones(n, bool))
+    assert int(state.grid.n_dropped) == 0
+    row_full = int(np.asarray(state.grid.cell_fill).max())
+    assert row_full == opts.max_per_cell
+
+    # candidate at d=0.395: pts_gt lies in cell 0 but the far spawn point
+    # (1.02 * 0.395 = 0.4029) lands in the saturated neighboring cell
+    before = int(state.count)
+    state, n_loc = add_points(
+        state, opts, jax.random.PRNGKey(2), rays_o[:1], rays_d[:1],
+        jnp.asarray([0.395], jnp.float32), c[:1], jnp.ones(1, bool))
+    assert int(n_loc) == 0, "straddling location must be rejected"
+    assert int(state.count) == before
+    assert int(state.grid.n_dropped) == 0, "no silent index drops"

@@ -85,3 +85,47 @@ def test_tracking_recovers_perturbed_pose(cfg):
     # leaves some gauge freedom, so per-axis convergence is not guaranteed)
     assert err_after.mean() < 0.75 * err_before.mean(), (
         err_before, err_after)
+
+
+def test_tracking_cached_matches_exact(cfg):
+    """Quantify the pooled k-NN cache's approximation (ADVICE r2): tracking
+    with the block cache must land within a small tolerance of the
+    reference-exact per-iteration-query pose on the same problem."""
+    cfg = small_cfg()
+    ds, state, params, mopts, ropts, (color, depth, c2w), _ = \
+        build_mapped_scene(cfg, n_iters=240)
+    base = tracker_mod.TrackOptions.from_cfg(cfg)._replace(
+        pixels=500, iters=60, H=cfg["cam"]["H"], W=cfg["cam"]["W"],
+        fx=cfg["cam"]["fx"], fy=cfg["cam"]["fy"],
+        cx=cfg["cam"]["cx"], cy=cfg["cam"]["cy"])
+    ropts_t = RenderOptions.from_cfg(
+        cfg, sigmoid_coef=cfg["rendering"]["sigmoid_coef_tracker"])
+
+    gt7 = tensor_from_c2w(c2w)
+    pert = gt7.copy()
+    pert[4:] += np.array([0.015, -0.01, 0.015], np.float32)
+    pert[:4] += np.array([0.0, 0.008, -0.008, 0.008], np.float32)
+
+    results = {}
+    for name, topts in [
+        ("exact", base._replace(knn_refresh=0)),
+        ("cached", base._replace(knn_refresh=10, pool_factor=4)),
+    ]:
+        best, _c44, first_loss, best_loss, _ef, _em = \
+            tracker_mod.track_frame(
+                params, state.pos, state.grid, state.feat,
+                color, depth, jnp.asarray(pert), jax.random.PRNGKey(5),
+                topts, ropts_t)
+        assert float(best_loss) < float(first_loss), name
+        results[name] = np.asarray(best)
+
+    err_exact = np.abs(results["exact"] - gt7)
+    err_cached = np.abs(results["cached"] - gt7)
+    # the cached path may differ stochastically but must not be
+    # systematically worse: its pose error stays within 50% + 2 mm of the
+    # exact path's on this scene
+    assert err_cached.mean() < 1.5 * err_exact.mean() + 2e-3, (
+        err_exact, err_cached)
+    # and the two final poses agree to a few mm / milli-quat units
+    assert np.abs(results["exact"] - results["cached"]).max() < 2e-2, (
+        results["exact"], results["cached"])
