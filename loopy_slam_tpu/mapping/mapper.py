@@ -49,6 +49,7 @@ class MapperOptions(NamedTuple):
     cx: float = 599.5
     cy: float = 339.5
     pixel_pool_factor: int = 8
+    pool_color_stage: bool = True
 
     @staticmethod
     def from_cfg(cfg):
@@ -63,6 +64,7 @@ class MapperOptions(NamedTuple):
             H=cam["H"] - 2 * e, W=cam["W"] - 2 * e,
             fx=cam["fx"], fy=cam["fy"], cx=cam["cx"] - e, cy=cam["cy"] - e,
             pixel_pool_factor=int(m.get("pixel_pool_factor", 8)),
+            pool_color_stage=bool(m.get("pool_color_stage", True)),
         )
 
 
@@ -472,6 +474,11 @@ def _optimize_map_impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
     def phase(stage, n_iters, lrs, carry):
         grad_fn = jax.value_and_grad(_map_loss, has_aux=True)
         grad_fn_pool = jax.value_and_grad(_map_loss_pool, has_aux=True)
+        # pool_color_stage=False keeps reference-exact fresh pixel draws
+        # in the color stage (which needs broad pixel coverage) while the
+        # geometry stage still amortizes the k-NN through the pool
+        pool_this_stage = use_pool and (stage != "color"
+                                        or opts.pool_color_stage)
 
         def body(_, carry):
             trainable, st, k, it, _ = carry
@@ -479,7 +486,7 @@ def _optimize_map_impl(trainable, adam_state, dec_mask, feat_mask, map_pos,
             if psum_axis is not None:
                 kiter = jax.random.fold_in(
                     kiter, jax.lax.axis_index(psum_axis))
-            if use_pool:
+            if pool_this_stage:
                 (loss, aux), g = grad_fn_pool(trainable, pool, map_pos,
                                               kiter, stage, opts, ropts,
                                               pix_per_frame, kf_exposure)

@@ -207,9 +207,8 @@ def fourier_embed(p, B, concat_cos: bool):
 
 def _trunk(layers, fc_c, out, emb, c, act):
     """The production trunk forward (plain XLA). A hand-fused Pallas
-    variant exists in ops/fused_mlp.py but measured 6x SLOWER (see its
-    docstring) and is NOT wired in — it is kept only as a tested record
-    of that negative result."""
+    variant was prototyped and measured 6x SLOWER (negative result
+    recorded in BASELINE.md), so the plain form is the product."""
     h = emb
     for i in range(N_BLOCKS):
         h = act(_mm(h, layers[i]["w"]) + layers[i]["b"])
@@ -222,10 +221,10 @@ def _trunk(layers, fc_c, out, emb, c, act):
 def geo_forward(geo, p, c):
     """(N,3),(N,32) -> occupancy logits (N,). ReLU trunk (decoder.py:275-288).
 
-    Stays on the plain-XLA trunk: a hand-fused Pallas kernel
-    (ops/fused_mlp.py) was measured SLOWER (1.3 vs 0.2 ms fwd at N=25k on
-    a v5e) — XLA's own fusion already keeps these narrow trunks
-    MXU-resident, while an in-kernel layer chain serializes.
+    Stays on the plain-XLA trunk: a hand-fused Pallas kernel was
+    measured SLOWER (1.3 vs 0.2 ms fwd at N=25k on a v5e; BASELINE.md)
+    — XLA's own fusion already keeps these narrow trunks MXU-resident,
+    while an in-kernel layer chain serializes.
     """
     emb = fourier_embed(p, geo["B"], concat_cos=False)
     return _trunk(geo["lin"], geo["fc_c"], geo["out"], emb, c, jax.nn.relu)[..., 0]

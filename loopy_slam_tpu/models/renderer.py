@@ -273,9 +273,15 @@ def render_batch_ray(params, map_pos, grid, feats,
                             opts.far_end_surface, opts.near_end)
     mask_rays_near_pcl = jnp.ones((R,), bool)
     if opts.sample_near_pcl and z_vals_override is None:
-        assert eval_fn is None, (
-            "sample_near_pcl probes the local grid; unsupported with an "
-            "injected eval_fn (map-sharded path) — disable one of them")
+        # an injected eval_fn (map-sharded path) must carry a GLOBAL
+        # occupancy probe as its `probe_occupied` attribute — the local
+        # grid holds only this shard's cells
+        probe = (None if eval_fn is None
+                 else getattr(eval_fn, "probe_occupied", None))
+        assert eval_fn is None or probe is not None, (
+            "sample_near_pcl with an injected eval_fn needs "
+            "eval_fn.probe_occupied (global occupancy probe); the "
+            "map-sharded builder attaches one")
         # zero-depth rays sample where the point cloud actually lies
         # (Renderer.py:151-160 + neural_point.sample_near_pcl); rays with
         # <2 occupied probe depths are flagged invalid
@@ -292,7 +298,7 @@ def render_batch_ray(params, map_pos, grid, feats,
             jax.lax.stop_gradient(rays_d), opts.near_end,
             jax.lax.stop_gradient(far), S,
             opts.radius_query, opts.nn_num, opts.table_size,
-            opts.max_per_cell)
+            opts.max_per_cell, occupied_fn=probe)
         z_vals_override = z_near
         mask_rays_near_pcl = jnp.where(gt_depth > 0, True, ~invalid)
     if z_vals_override is not None:

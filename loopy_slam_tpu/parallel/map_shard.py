@@ -336,25 +336,8 @@ def make_shard_add_candidates(mesh: Mesh, mopts):
         pts_gt = rays_o + rays_d * d[:, None]
         _, _, _, nn = ring_knn(s, pts_gt, 1, r_add, mopts.table_size,
                                mopts.max_per_cell, n)
-        # full-cell gate with same-batch cell rank (see
-        # point_cloud.add_points): the OWNER shard's hash-row fill decides;
-        # psum broadcasts it (non-owners add 0) and the rank computation is
-        # replica-deterministic, so the gate stays replica-identical
-        M = s.grid.cell_data.shape[1]
-        cell_h = knn._hash_cells(knn._cell_of(pts_gt, s.grid.cell_size),
-                                 mopts.table_size)
-        own = owner_of_points(pts_gt, mopts.cell_size, n) == me
-        fill = jax.lax.psum(
-            jnp.where(own, s.grid.cell_fill[cell_h], 0), AXIS)
         gate0 = valid & (nn == 0)
         A = pts_gt.shape[0]
-        key_h = jnp.where(gate0, cell_h, jnp.int32(mopts.table_size))
-        h_order = jnp.argsort(key_h).astype(jnp.int32)
-        cs = key_h[h_order]
-        first = jnp.searchsorted(cs, cs, side="left").astype(jnp.int32)
-        rank_sorted = jnp.arange(A, dtype=jnp.int32) - first
-        cell_rank = jnp.zeros(A, jnp.int32).at[h_order].set(rank_sorted)
-        gate = gate0 & (fill + cell_rank * mopts.N_add < M)
 
         if mopts.fix_interval_when_add_along_ray:
             z = d[:, None] + jnp.linspace(-0.04, 0.04, mopts.N_add)
@@ -365,8 +348,29 @@ def make_shard_add_candidates(mesh: Mesh, mopts):
                  + mopts.far_end_surface * dd * t)
         new_pts = (rays_o[:, None, :]
                    + rays_d[:, None, :] * z[..., None]).reshape(-1, 3)
+        # full-cell gate over EVERY spawned point's cell (see
+        # point_cloud.add_points — the round-3 per-point form): the OWNER
+        # shard's hash-row fill decides; psum broadcasts it (non-owners
+        # add 0) and the rank computation is replica-deterministic, so the
+        # gate stays replica-identical
+        M = s.grid.cell_data.shape[1]
+        AN = A * mopts.N_add
+        cell_h3 = knn._hash_cells(
+            knn._cell_of(new_pts, s.grid.cell_size), mopts.table_size)
+        own3 = owner_of_points(new_pts, mopts.cell_size, n) == me
+        fill3 = jax.lax.psum(
+            jnp.where(own3, s.grid.cell_fill[cell_h3], 0), AXIS)
+        key_h = jnp.where(jnp.repeat(gate0, mopts.N_add), cell_h3,
+                          jnp.int32(mopts.table_size))
+        h_order = jnp.argsort(key_h).astype(jnp.int32)
+        cs = key_h[h_order]
+        first = jnp.searchsorted(cs, cs, side="left").astype(jnp.int32)
+        rank_sorted = jnp.arange(AN, dtype=jnp.int32) - first
+        cell_rank = jnp.zeros(AN, jnp.int32).at[h_order].set(rank_sorted)
+        fits = (fill3 + cell_rank < M).reshape(A, mopts.N_add)
+        gate = gate0 & jnp.all(fits, axis=1)
         vflat = jnp.repeat(gate, mopts.N_add)
-        mine = vflat & (owner_of_points(new_pts, mopts.cell_size, n) == me)
+        mine = vflat & own3
 
         cap_l = s.pos.shape[0]
         rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
@@ -399,7 +403,8 @@ def _stack_feat(tree):
 
 def make_map_shard_optimize(mesh: Mesh, mopts, ropts, pix_per_frame: int,
                             use_dynamic_radius: bool = False,
-                            with_exposure: bool = False):
+                            with_exposure: bool = False,
+                            with_ba: bool = False):
     """The staged mapping optimizer over the SHARDED map: rays data-parallel
     (each shard samples its own rays), sample decode via ring k-NN/fetch,
     decoder/exposure gradients psummed, feature gradients local (the ring
@@ -408,9 +413,14 @@ def make_map_shard_optimize(mesh: Mesh, mopts, ropts, pix_per_frame: int,
 
     step(trainable, adam_state, dec_mask, feat_mask, pos, count, grid,
          kf_color, kf_depth, kf_c2w, kf_rq, key, n_geo, n_col, lrs_geo,
-         lrs_col, kf_exposure) -> (trainable, adam_state, aux)
+         lrs_col, kf_exposure[, ba_row_mask, ba_lr, ba_window,
+         iter_offset]) -> (trainable, adam_state, aux)
     where trainable["feat"] / feat_mask / pos / count / grid are the
-    stacked sharded arrays and everything else is replicated.
+    stacked sharded arrays and everything else is replicated. With
+    with_ba, trainable["cams"] (replicated window-pose 7-vectors) trains
+    under the reference's iteration-window schedule — pose gradients ride
+    the same psum as the decoder's, so the replicated update is identical
+    on every shard.
     """
     from ..mapping.mapper import _optimize_map_impl
     from ..ops.adam import AdamState
@@ -421,22 +431,28 @@ def make_map_shard_optimize(mesh: Mesh, mopts, ropts, pix_per_frame: int,
     t_spec = {"dec": P(), "feat": P(AXIS)}
     if with_exposure:
         t_spec["exp"] = P()
+    if with_ba:
+        t_spec["cams"] = P()
     adam_spec = AdamState(m=t_spec, v=t_spec, step=P())
     in_specs = (t_spec, adam_spec, P(), P(AXIS), P(AXIS), P(AXIS),
                 GRID_SPEC, P(), P(), P(), P(), P(), P(), P(), P(), P(), P())
+    if with_ba:
+        in_specs = in_specs + (P(), P(), P(), P())
     out_specs = (t_spec, adam_spec, P())
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
              out_specs=out_specs, check_vma=False)
     def _opt(trainable, st, dec_mask, feat_mask, pos, count, grid,
              kf_color, kf_depth, kf_c2w, kf_rq, key, n_geo, n_col,
-             lrs_geo, lrs_col, kf_exposure):
+             lrs_geo, lrs_col, kf_exposure, *ba_args):
         trainable = _strip_feat(trainable)
         st = AdamState(m=_strip_feat(st.m), v=_strip_feat(st.v),
                        step=st.step)
         pos_l, count_l = pos[0], count[0]
         grid_l = jax.tree.map(lambda x: x[0], grid)
         feat_mask_l = feat_mask[0]
+        ba_row_mask, ba_lr, ba_window, iter_offset = (
+            ba_args if with_ba else (None, None, None, None))
         # NOTE: per-iteration keys are decorrelated inside
         # _optimize_map_impl (it folds the axis index when psum_axis is
         # set), so the entry key stays replicated here.
@@ -450,13 +466,27 @@ def make_map_shard_optimize(mesh: Mesh, mopts, ropts, pix_per_frame: int,
                                         stage, n, views_d, rq,
                                         exposure_feat)
 
+            if ropts.sample_near_pcl:
+                # global occupancy probe for zero-depth rays: each shard's
+                # probe batch rides the same ring as the k-NN (the batches
+                # are per-shard, so a plain psum would OR DIFFERENT point
+                # sets — the ring rotates each batch past every shard)
+                def probe_occupied(pts):
+                    _, _, _, nn = ring_knn(
+                        smap_l, pts, 1, ropts.radius_query,
+                        ropts.table_size, ropts.max_per_cell, n)
+                    return nn > 0
+
+                eval_fn.probe_occupied = probe_occupied
             return eval_fn
 
         trainable, st, aux = _optimize_map_impl(
             trainable, st, dec_mask, feat_mask_l, pos_l, grid_l,
             kf_color, kf_depth, kf_c2w, kf_rq, key, n_geo, n_col,
             lrs_geo, lrs_col, mopts, ropts, local_pix,
-            use_dynamic_radius, kf_exposure, psum_axis=AXIS,
+            use_dynamic_radius, kf_exposure,
+            ba_row_mask=ba_row_mask, ba_lr=ba_lr, ba_window=ba_window,
+            iter_offset=iter_offset, psum_axis=AXIS,
             eval_fn_builder=eval_fn_builder, feat_grad_local=True)
         st = AdamState(m=_stack_feat(st.m), v=_stack_feat(st.v),
                        step=st.step)
@@ -508,6 +538,14 @@ def make_map_shard_track(mesh: Mesh, topts, ropts,
                                         stage, n, views_d, rq_,
                                         exposure_feat)
 
+            if ropts.sample_near_pcl:
+                def probe_occupied(pts):
+                    _, _, _, nn = ring_knn(
+                        smap_l, pts, 1, ropts.radius_query,
+                        ropts.table_size, ropts.max_per_cell, n)
+                    return nn > 0
+
+                eval_fn.probe_occupied = probe_occupied
             return eval_fn
 
         return _track_frame_impl(

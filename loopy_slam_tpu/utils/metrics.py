@@ -10,6 +10,7 @@ missing rather than silently substituting a different metric.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -133,5 +134,12 @@ def lpips(img, ref, weights_path: Optional[str] = None):
     """
     if weights_path is None:
         return None
+    if not os.path.isabs(weights_path) and not os.path.exists(weights_path):
+        # the shipped default is repo-relative; resolve it regardless of CWD
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cand = os.path.join(repo, weights_path)
+        if os.path.exists(cand):
+            weights_path = cand
     from .lpips import lpips_alex
     return lpips_alex(img, ref, weights_path)

@@ -110,3 +110,29 @@ def test_bundle_validation(tmp_path):
         from loopy_slam_tpu.utils.lpips import load_lpips
         load_lpips(path)
     assert len(REQUIRED_KEYS) == 17
+
+
+def test_randfeat_bundle_monotone():
+    """The shipped random-feature calibration bundle (scripts/
+    make_lpips_randfeat.py) must behave like a perceptual metric: zero for
+    identical images, monotone in distortion severity, anchored near 0.22
+    for sigma=0.1 Gaussian noise (its calibration target)."""
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "pretrained", "lpips_alex_randfeat.npz")
+    assert os.path.exists(path), "shipped bundle missing"
+    from loopy_slam_tpu.utils.metrics import lpips
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(size=(96, 96, 3)).astype(np.float32)
+    assert lpips(img, img, path) < 1e-6
+    prev = 0.0
+    for sigma in (0.02, 0.05, 0.1, 0.2):
+        noisy = np.clip(img + rng.normal(0, sigma, img.shape),
+                        0, 1).astype(np.float32)
+        val = lpips(noisy, img, path)
+        assert val > prev, (sigma, val, prev)
+        prev = val
+    anchor = lpips(np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1)
+                   .astype(np.float32), img, path)
+    assert 0.05 < anchor < 0.6, anchor
