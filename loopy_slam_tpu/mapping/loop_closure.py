@@ -89,6 +89,10 @@ class LoopCloser:
         self.dbow_scores: List[float] = []
         self.registration_times: List[float] = []
         self.pgo_times: List[float] = []
+        # per-round edge diagnostics (reference compute_odometry_errors /
+        # compute_loop_errors, neural_point.py:234-344): filled by
+        # compute_correction, printed by the session when verbose
+        self.last_diag: List[Dict] = []
 
     # -- called at each new-segment event ------------------------------
     def on_new_segment(self, anchor_des):
@@ -181,11 +185,19 @@ class LoopCloser:
         for (s, t), out in zip(pairs, results):
             edges.append({
                 "s": s, "t": t, "T": out["transformation"],
-                "info": out["information"], "odom": t == s + 1,
+                # loop edges carry point-to-plane information when the
+                # registration produced it: directions the submap geometry
+                # does not constrain (planar slides) then weigh ~nothing
+                # in the solve (ops/registration.information_matrix_p2plane)
+                "info": out.get("information_pp", out["information"]),
+                "odom": t == s + 1,
                 "fitness": out.get("fitness", -1.0),
                 "transl_mag": float(np.abs(
                     out["transformation"][:3, 3]).mean()),
                 "success": out["success"],
+                # GT-referenced edge error (diagnostic only — the reference
+                # logs the same via compute_loop_errors, neural_point.py:274)
+                "transl_err": out.get("transformation_transl_err", -1.0),
             })
 
         # ---- statistical filter cascade (neural_point.py:681-916) ----
@@ -223,6 +235,15 @@ class LoopCloser:
                 if e["success"]:
                     accepted.append(e)
             valid_last = True
+        acc_ids = {id(e) for e in accepted}
+        self.last_diag = [dict(e, accepted=id(e) in acc_ids, T=None,
+                               info=None) for e in edges]
+        for e in sorted(self.last_diag, key=lambda e: -e["transl_err"]):
+            kind = "odom" if e["odom"] else "loop"
+            print(f"  LC edge {e['s']:2d}->{e['t']:2d} {kind} "
+                  f"fit={e['fitness']:.3f} mag={e['transl_mag']:.3f} "
+                  f"err_vs_gt={e['transl_err']:.3f} "
+                  f"{'ACCEPT' if e['accepted'] else 'reject'}")
         if not valid_last:
             return None
 

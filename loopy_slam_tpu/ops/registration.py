@@ -20,6 +20,14 @@ Like the reference (which runs this on a CPU process pool,
 neural_point.py:650-656), registration is off the per-frame critical path,
 so this is deliberately host-side numpy/scipy; RANSAC is vectorized
 (batched hypotheses) rather than a sequential loop.
+
+Design deviation from the reference: `robust_icp` tries coarse-to-fine
+Tukey ICP FROM IDENTITY first and uses FPFH+RANSAC only as a fallback
+that must clearly beat it (see pairwise_registration). The reference
+always trusts the RANSAC result; here the submap clouds are already
+world-aligned by tracking, and global registration against aliased room
+structure produced high-fitness wrong-basin edges that destroyed the
+2000-frame room0 trajectory (BASELINE.md, round 3).
 """
 
 from __future__ import annotations
@@ -258,7 +266,16 @@ def icp_point_to_plane(src_pts, dst_pts, dst_normals, max_corr: float,
         q = dst_pts[j[ok]]
         nrm = dst_normals[j[ok]]
         r = np.einsum("nd,nd->n", p - q, nrm)
-        if tukey_k is not None:
+        if tukey_k == "auto":
+            # adaptive scale from the residual MAD: wide while the true
+            # offset still dominates the residuals (captures real drift),
+            # tight once converged (suppresses partial-overlap mismatch
+            # pull — the force behind null-space walks on planar scenes)
+            med = np.median(r)
+            k = np.clip(3 * 1.4826 * np.median(np.abs(r - med)),
+                        0.005, max_corr)
+            w = (1.0 - np.minimum(np.abs(r) / k, 1.0) ** 2) ** 2
+        elif tukey_k is not None:
             w = (1.0 - np.minimum(np.abs(r) / tukey_k, 1.0) ** 2) ** 2
         else:
             w = np.ones_like(r)
@@ -267,7 +284,13 @@ def icp_point_to_plane(src_pts, dst_pts, dst_normals, max_corr: float,
         A = J.T @ (w[:, None] * J)
         b = J.T @ (w * r)
         try:
-            dx = np.linalg.solve(A + 1e-9 * np.eye(6), -b)
+            # trace-scaled Levenberg damping: directions the geometry does
+            # not constrain (tangential slides on planar scenes) have ~zero
+            # curvature in A but a nonzero bias in b from partial-overlap
+            # mismatches; an absolute 1e-9 regularizer lets GN take huge
+            # steps along them (observed 0.4-2 m walks on box-room submaps)
+            lam = 1e-9 + 1e-4 * np.trace(A) / 6.0
+            dx = np.linalg.solve(A + lam * np.eye(6), -b)
         except np.linalg.LinAlgError:
             break
         dR = _rotvec_to_mat(dx[:3])
@@ -354,7 +377,8 @@ def icp_colored(src_pts, src_int, dst_pts, dst_normals, dst_int, dst_grad,
         A = J.T @ J
         b = J.T @ r
         try:
-            dx = np.linalg.solve(A + 1e-9 * np.eye(6), -b)
+            lam = 1e-9 + 1e-4 * np.trace(A) / 6.0
+            dx = np.linalg.solve(A + lam * np.eye(6), -b)
         except np.linalg.LinAlgError:
             break
         dT = np.eye(4)
@@ -373,7 +397,8 @@ def icp_colored(src_pts, src_int, dst_pts, dst_normals, dst_int, dst_grad,
 
 
 def colored_icp_multiscale(sp, sc, tp, tc, cam_s=None, cam_t=None,
-                           init_T: Optional[np.ndarray] = None):
+                           init_T: Optional[np.ndarray] = None,
+                           scales: Optional[Tuple] = None):
     """Multi-scale colored ICP mirroring the reference schedule
     (common.py:685-713): voxel radius [0.04, 0.02, 0.01], iters
     [50, 30, 14], normals at 2*radius/nn<=30, max_corr = radius."""
@@ -381,7 +406,7 @@ def colored_icp_multiscale(sp, sc, tp, tc, cam_s=None, cam_t=None,
     fitness, rmse = 0.0, np.inf
     si = np.asarray(sc, np.float64).mean(1)
     ti = np.asarray(tc, np.float64).mean(1)
-    for radius, iters in ((0.04, 50), (0.02, 30), (0.01, 14)):
+    for radius, iters in (scales or ((0.04, 50), (0.02, 30), (0.01, 14))):
         sd, sdi = _voxel_down_sample_scalar(sp, radius, si)
         td, tdi = _voxel_down_sample_scalar(tp, radius, ti)
         if len(sd) < 6 or len(td) < 6:
@@ -434,6 +459,27 @@ def information_matrix(src_pts, dst_pts, max_corr: float, T: np.ndarray):
     return np.einsum("mia,mib->ab", G, G) if m else np.eye(6)
 
 
+def information_matrix_p2plane(src_pts, dst_pts, dst_normals,
+                               max_corr: float, T: np.ndarray):
+    """Point-to-plane edge information: sum over fine correspondences of
+    J^T J with J = [p x n | n] (rotation-first, same ordering as
+    information_matrix). Unlike the o3d point-to-point form — which treats
+    every correspondence as a full 3-dof constraint — this carries ~zero
+    information along directions the scene geometry does not constrain
+    (tangential slides on planar submaps), so a pose-graph solve weighted
+    by it is immune to registration error living in those null spaces."""
+    tree = cKDTree(dst_pts)
+    moved = src_pts @ T[:3, :3].T + T[:3, 3]
+    d, j = tree.query(moved, k=1, distance_upper_bound=max_corr)
+    ok = np.isfinite(d)
+    if not ok.any():
+        return np.eye(6)
+    p = moved[ok]
+    n = dst_normals[j[ok]]
+    J = np.concatenate([np.cross(p, n), n], axis=1)  # (m, 6)
+    return J.T @ J
+
+
 def info_o3d_to_rho_phi(info: np.ndarray) -> np.ndarray:
     """Permute a rotation-first (o3d) 6x6 information matrix into the
     [rho, phi] ordering used by ops/pose_graph.py."""
@@ -471,6 +517,15 @@ def pairwise_registration(source: Dict, target: Dict, method: str = "robust_icp"
         T = np.eye(4)
     elif method in ("icp", "robust_icp", "colored_icp"):
         tn = estimate_normals(tp, radius=0.1, max_nn=50, camera_location=cam_t)
+        # ICP cost is linear in source size and registration runs serially
+        # on small hosts; a uniform subsample of the source is statistically
+        # equivalent for the GN normal equations (targets stay full-res)
+        if len(sp) > 40000:
+            sub = (rng or np.random.default_rng(0)).choice(
+                len(sp), 40000, replace=False)
+            sp_icp = sp[sub]
+        else:
+            sp_icp = sp
         if method == "colored_icp":
             # reference common.py:685-713 (multi-scale colored ICP) with the
             # :715-725 fallback to coarse->fine point-to-plane on failure
@@ -481,33 +536,117 @@ def pairwise_registration(source: Dict, target: Dict, method: str = "robust_icp"
                     sp, sc, tp, tc, cam_s=cam_s, cam_t=cam_t)
             except Exception:
                 T, fitness, rmse = icp_point_to_plane(
-                    sp, tp, tn, 0.3, np.eye(4), max_iter=30)
+                    sp_icp, tp, tn, 0.3, np.eye(4), max_iter=30)
                 T, fitness, rmse = icp_point_to_plane(
-                    sp, tp, tn, 0.03, T, max_iter=30)
+                    sp_icp, tp, tn, 0.03, T, max_iter=30)
         elif method == "icp":
-            T, fitness, rmse = icp_point_to_plane(sp, tp, tn, 0.3, np.eye(4),
-                                                  max_iter=30)
-            T, fitness, rmse = icp_point_to_plane(sp, tp, tn, 0.03, T,
+            T, fitness, rmse = icp_point_to_plane(sp_icp, tp, tn, 0.3,
+                                                  np.eye(4), max_iter=30)
+            T, fitness, rmse = icp_point_to_plane(sp_icp, tp, tn, 0.03, T,
                                                   max_iter=30)
         else:
-            voxel = 0.04
-            sd, _ = voxel_down_sample(sp, voxel)
-            td, _ = voxel_down_sample(tp, voxel)
-            sn_d = estimate_normals(sd, voxel * 2, 30, cam_s)
-            tn_d = estimate_normals(td, voxel * 2, 30, cam_t)
-            sf = compute_fpfh(sd, sn_d, voxel * 5.0, 100)
-            tf = compute_fpfh(td, tn_d, voxel * 5.0, 100)
-            T, _, _ = ransac_feature_matching(sd, td, sf, tf, voxel,
-                                              max_iter=min(global_iter, 100000),
-                                              confidence=conf, rng=rng)
-            T, fitness, rmse = icp_point_to_plane(sp, tp, tn, 0.03, T,
-                                                  max_iter=30, tukey_k=0.01)
+            # robust_icp. Submaps arrive in WORLD frame at tracked poses:
+            # the true relative transform is bounded by accumulated drift
+            # (segments spawn at >0.3 m / >20 deg motion), so hypotheses
+            # that trust the prior come first; the reference's only
+            # hypothesis — FPFH+RANSAC global registration then Tukey ICP
+            # (common.py:645-683) — is the last-resort fallback for
+            # genuinely large drift. Rationale (measured on the room0
+            # 2000-frame run, see BASELINE.md): on scenes dominated by a
+            # few planes, point-to-plane geometry has a NULL SPACE
+            # (tangential slides keep residuals ~0 and overlap fitness
+            # ~1.0), so both RANSAC basins and unregularized ICP walks
+            # produced 0.1-2.0 m loop edges that no overlap-based gate can
+            # reject — and with the Replica configs' filter=False they
+            # went straight into the pose graph and diverged the
+            # trajectory to 0.66 m ATE. Photometric residuals are the
+            # only signal that pins the slide, hence colored ICP from
+            # identity as H1; a global hypothesis is only accepted when
+            # it explains the data clearly better than staying near the
+            # tracked prior.
+            ttree = cKDTree(tp)
+
+            def _fit_at(T, mc=0.03):
+                mv = sp_icp @ T[:3, :3].T + T[:3, 3]
+                dd, _ = ttree.query(mv, k=1, distance_upper_bound=mc)
+                return float(np.isfinite(dd).mean())
+
+            sc = tc = None
+            if source.get("points_color") is not None:
+                sc = np.asarray(source["points_color"], np.float64)
+                tc = np.asarray(target["points_color"], np.float64)
+                if not (np.ptp(sc) > 1e-6 and np.ptp(tc) > 1e-6):
+                    sc = tc = None
+            T, fitness, rmse = np.eye(4), -1.0, np.inf
+            if sc is not None:
+                try:
+                    T1, _, rmse1 = colored_icp_multiscale(
+                        sp, sc, tp, tc, cam_s=cam_s, cam_t=cam_t,
+                        scales=((0.04, 30), (0.02, 20)))
+                    if np.abs(T1[:3, 3]).max() < 0.5:
+                        T, fitness, rmse = T1, _fit_at(T1), rmse1
+                except Exception:
+                    pass
+            if fitness < 0.35:
+                # H2: Tukey-at-every-scale point-to-plane from identity
+                # (+ colored polish); robust weights keep partial-overlap
+                # mismatches from dragging GN while it captures up to
+                # ~0.3 m of real drift
+                T2, _, rmse2 = icp_point_to_plane(
+                    sp_icp, tp, tn, 0.3, np.eye(4), max_iter=30,
+                    tukey_k="auto")
+                T2, _, rmse2 = icp_point_to_plane(
+                    sp_icp, tp, tn, 0.1, T2, max_iter=30, tukey_k="auto")
+                T2, _, rmse2 = icp_point_to_plane(
+                    sp_icp, tp, tn, 0.03, T2, max_iter=30, tukey_k=0.01)
+                if sc is not None:
+                    try:
+                        T2, _, rmse2 = colored_icp_multiscale(
+                            sp, sc, tp, tc, cam_s=cam_s, cam_t=cam_t,
+                            init_T=T2, scales=((0.02, 14),))
+                    except Exception:
+                        pass
+                fit2 = _fit_at(T2)
+                if fit2 > fitness:
+                    T, fitness, rmse = T2, fit2, rmse2
+            if fitness < 0.35:
+                # H3: the reference's global pipeline, accepted only with
+                # a clear margin over the prior-trusting hypotheses
+                voxel = 0.04
+                sd, _ = voxel_down_sample(sp, voxel)
+                td, _ = voxel_down_sample(tp, voxel)
+                sn_d = estimate_normals(sd, voxel * 2, 30, cam_s)
+                tn_d = estimate_normals(td, voxel * 2, 30, cam_t)
+                sf = compute_fpfh(sd, sn_d, voxel * 5.0, 100)
+                tf = compute_fpfh(td, tn_d, voxel * 5.0, 100)
+                T_g, _, _ = ransac_feature_matching(
+                    sd, td, sf, tf, voxel,
+                    max_iter=min(global_iter, 100000),
+                    confidence=conf, rng=rng)
+                T_g, _, rmse_g = icp_point_to_plane(
+                    sp_icp, tp, tn, 0.03, T_g, max_iter=30, tukey_k=0.01)
+                if sc is not None:
+                    try:
+                        T_g, _, rmse_g = colored_icp_multiscale(
+                            sp, sc, tp, tc, cam_s=cam_s, cam_t=cam_t,
+                            init_T=T_g, scales=((0.02, 14),))
+                    except Exception:
+                        pass
+                fit_g = _fit_at(T_g)
+                if fit_g > 1.2 * max(fitness, 1e-6):
+                    T, fitness, rmse = T_g, fit_g, rmse_g
     else:
         raise NotImplementedError(method)
     toc = _time.perf_counter()
 
     out["transformation"] = T
     out["information"] = information_matrix(sp, tp, 0.03, T)
+    if method in ("icp", "robust_icp", "colored_icp"):
+        # geometry-aware edge information for the pose-graph solve; the
+        # o3d point-to-point form stays as `information` for the success
+        # gate (its [5,5] is the correspondence count)
+        out["information_pp"] = information_matrix_p2plane(sp, tp, tn,
+                                                           0.03, T)
     out["n_points"] = min(len(sp), len(tp))
     out["fitness"] = fitness
     out["inlier_rmse"] = rmse
@@ -535,7 +674,12 @@ def register_point_cloud_pair(s: int, t: int, s_seg: Dict, t_seg: Dict,
     out = pairwise_registration(s_seg, t_seg, method, global_iter, conf, rng)
     out["s"], out["t"] = s, t
     if t != s + 1:
-        if (np.trace(out["transformation"]) == 4.0
+        # the reference's literal check is trace == 4.0 (common.py:832) —
+        # its INTENT is "registration returned identity", and a trace test
+        # false-positives on pure-translation recoveries (trace ignores
+        # the translation column), so test the actual matrix instead
+        T_ = out["transformation"]
+        if ((T_ == np.eye(4)).all()
                 or out["information"][5, 5] / max(out["n_points"], 1) < 0.3):
             out["success"] = False
             out["transformation"] = np.eye(4)

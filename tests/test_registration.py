@@ -158,3 +158,37 @@ def test_colored_icp_method_in_pairwise(rng):
     # recovered transform should invert T_true
     err = np.abs(T_rec @ T_true - np.eye(4)).max()
     assert err < 5e-3, err
+
+
+def test_robust_icp_small_drift_on_aliased_floor(rng):
+    """Wrong-basin protection: a floor-dominated scene with a periodic row
+    of identical bumps aliases under global registration (sliding one
+    period along the floor keeps high overlap fitness). Submaps are
+    world-aligned by tracking, so the true transform is centimeters;
+    robust_icp must recover it exactly — the identity-seeded hypothesis,
+    not RANSAC, must win (the room0 2000-frame run diverged to 0.66 m ATE
+    when RANSAC floor-sliding edges entered the pose graph)."""
+    n_floor = 6000
+    floor = np.stack([rng.uniform(-2, 2, n_floor),
+                      np.zeros(n_floor),
+                      rng.uniform(-2, 2, n_floor)], -1)
+    bumps = []
+    for cx in np.arange(-1.75, 2.0, 0.5):   # identical bumps, period 0.5
+        t = rng.uniform(-0.08, 0.08, (300, 2))
+        y = 0.15 - (t ** 2).sum(-1) * 6
+        bumps.append(np.stack([cx + t[:, 0], y, t[:, 1]], -1))
+    dst = np.concatenate([floor] + bumps, 0)
+    T_gt = np.eye(4)
+    T_gt[:3, :3] = reg._rotvec_to_mat(np.array([0.01, 0.02, -0.015]))
+    T_gt[:3, 3] = [0.03, -0.01, 0.02]       # centimeter drift
+    src = (dst - T_gt[:3, 3]) @ T_gt[:3, :3]   # T_gt maps src -> dst
+    out = reg.register_point_cloud_pair(
+        0, 4, {"points": src, "points_color": np.zeros_like(src),
+               "keyframe": np.eye(4)},
+        {"points": dst, "points_color": np.zeros_like(dst),
+         "keyframe": np.eye(4)},
+        method="robust_icp", global_iter=20000, conf=0.999,
+        rng=np.random.default_rng(7))
+    assert out["success"]
+    err_t = np.abs(out["transformation"][:3, 3] - T_gt[:3, 3]).max()
+    assert err_t < 0.005, (err_t, out["transformation"][:3, 3], T_gt[:3, 3])
