@@ -101,6 +101,14 @@ DEFAULTS: Dict[str, Any] = {
         # ATE @ 1.21 fps vs pooled 0.00172 m @ 1.74 fps.
         "knn_refresh": 10,
         "pool_factor": 4,
+        # failure containment: reject a frame's pose update (keep the
+        # motion-model pose) when its best per-masked-pixel tracking loss
+        # exceeds health_gate_factor * EMA over healthy frames. Catches
+        # tracking-lock loss in degenerate stretches (planar views,
+        # texture aliases) where the optimizer converges to a wrong but
+        # photometrically stable pose; the EMA freezes on rejected frames
+        # so runaway loss cannot widen its own gate. 0 disables.
+        "health_gate_factor": 5.0,
     },
     "mapping": {
         "filter_before_add_points": True,

@@ -53,6 +53,7 @@ class TrackOptions(NamedTuple):
     cy: float = 339.5
     knn_refresh: int = 10
     pool_factor: int = 4
+    health_gate: float = 0.0
 
     @staticmethod
     def from_cfg(cfg):
@@ -71,6 +72,7 @@ class TrackOptions(NamedTuple):
             cx=cam["cx"] - e, cy=cam["cy"] - e,
             knn_refresh=int(t.get("knn_refresh", 10)),
             pool_factor=max(1, int(t.get("pool_factor", 4))),
+            health_gate=float(t.get("health_gate_factor", 0.0)),
         )
 
 
@@ -279,15 +281,28 @@ def _track_frame_impl(params, map_pos, grid, feats,
                       opts: TrackOptions, ropts: RenderOptions,
                       sel_i=None, sel_j=None, r_query=None,
                       use_selected=False, exposure_feat=None,
-                      psum_axis=None, eval_fn_builder=None):
+                      psum_axis=None, eval_fn_builder=None, health=None):
     """Optimize the camera pose (and exposure, if enabled) for one frame.
-    Returns (best_cam7, first_loss, best_loss, exposure_feat', exp_mlp').
+    Returns (best_cam7, best_c2w44, first_loss, best_loss,
+    exposure_feat', exp_mlp', health').
 
     psum_axis: run inside shard_map with pixels data-parallel — each device
     samples its own opts.pixels rays (keys decorrelated by axis index),
     loss/gradients are psummed so the replicated Adam update is identical
     everywhere. eval_fn_builder reroutes the sample decode to the
-    map-sharded ring k-NN (parallel/map_shard.py)."""
+    map-sharded ring k-NN (parallel/map_shard.py).
+
+    health: optional (2,) device vector [ema_mean_loss, n_rejected] for the
+    tracking health gate (opts.health_gate > 0). The gate compares the
+    frame's best per-masked-pixel loss against an EMA over healthy frames;
+    a frame whose loss exceeds health_gate * ema REJECTS the optimized pose
+    and keeps the motion-model initialization — failure containment for
+    degenerate stretches (a planar/texture-aliased view can pull the pose
+    to a stable photometric alias; observed as a ~20 cm slide over 14
+    frames at full scale, where per-frame loss grew ~10x while GT motion
+    stayed at 0.3 cm/frame). The EMA is frozen on rejected frames, so a
+    runaway loss cannot drag the gate up with it. All state stays on
+    device — no extra host round trips on the tracking hot path."""
     lr_cam = _lr_vector(opts)
     grad_fn = jax.value_and_grad(tracking_loss, has_aux=True)
     si = sel_i if use_selected else None
@@ -307,7 +322,7 @@ def _track_frame_impl(params, map_pos, grid, feats,
     use_cache = (opts.knn_refresh > 0 and eval_fn_builder is None
                  and not ropts.sample_near_pcl)
     init = (opt_vars, adam.init(opt_vars), jnp.inf, cam7_init,
-            jnp.zeros(()), key)
+            jnp.zeros(()), jnp.zeros(()), key)
 
     if use_cache:
         # warmup block schedule: the first cache is built at the motion-
@@ -330,7 +345,7 @@ def _track_frame_impl(params, map_pos, grid, feats,
         grad_fn_c = jax.value_and_grad(tracking_loss_cached, has_aux=True)
 
         def outer(blk, carry):
-            opt_vars, st, best_loss, best_cam, first_loss, k = carry
+            opt_vars, st, best_loss, best_cam, best_nm, first_loss, k = carry
             k, kblk = jax.random.split(k)
             if psum_axis is not None:
                 kblk = jax.random.fold_in(kblk,
@@ -340,62 +355,95 @@ def _track_frame_impl(params, map_pos, grid, feats,
                 kblk, opts, ropts, si, sj, r_query)
 
             def body(it_in, carry2):
-                opt_vars, st, best_loss, best_cam, first_loss, k2 = carry2
+                (opt_vars, st, best_loss, best_cam, best_nm, first_loss,
+                 k2) = carry2
                 k2, kiter = jax.random.split(k2)
                 if psum_axis is not None:
                     kiter = jax.random.fold_in(
                         kiter, jax.lax.axis_index(psum_axis))
-                (loss, _aux), g = grad_fn_c(opt_vars, params, cache, kiter,
-                                            opts, ropts)
+                (loss, aux), g = grad_fn_c(opt_vars, params, cache, kiter,
+                                           opts, ropts)
+                n_mask = aux[2]
                 if psum_axis is not None:
                     g = jax.lax.psum(g, psum_axis)
                     loss = jax.lax.psum(loss, psum_axis)
+                    n_mask = jax.lax.psum(n_mask, psum_axis)
                 opt_vars, st = adam.update(opt_vars, g, st, lr_tree)
                 better = loss < best_loss
                 best_loss = jnp.where(better, loss, best_loss)
                 best_cam = jnp.where(better, opt_vars["cam"], best_cam)
+                best_nm = jnp.where(better, n_mask, best_nm)
                 first_loss = jnp.where((blk == 0) & (it_in == 0), loss,
                                        first_loss)
-                return opt_vars, st, best_loss, best_cam, first_loss, k2
+                return (opt_vars, st, best_loss, best_cam, best_nm,
+                        first_loss, k2)
 
             return jax.lax.fori_loop(
                 0, lengths_arr[blk], body,
-                (opt_vars, st, best_loss, best_cam, first_loss, k))
+                (opt_vars, st, best_loss, best_cam, best_nm, first_loss, k))
 
-        opt_vars, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(
-            0, n_blocks, outer, init)
+        (opt_vars, _, best_loss, best_cam, best_nm, first_loss,
+         _) = jax.lax.fori_loop(0, n_blocks, outer, init)
     else:
         def body(it, carry):
-            opt_vars, st, best_loss, best_cam, first_loss, k = carry
+            opt_vars, st, best_loss, best_cam, best_nm, first_loss, k = carry
             k, kiter = jax.random.split(k)
             if psum_axis is not None:
                 kiter = jax.random.fold_in(kiter,
                                            jax.lax.axis_index(psum_axis))
-            (loss, _aux), g = grad_fn(opt_vars, params, map_pos, grid,
-                                      feats, gt_color, gt_depth, kiter,
-                                      opts, ropts, si, sj, r_query,
-                                      eval_fn_builder)
+            (loss, aux), g = grad_fn(opt_vars, params, map_pos, grid,
+                                     feats, gt_color, gt_depth, kiter,
+                                     opts, ropts, si, sj, r_query,
+                                     eval_fn_builder)
+            n_mask = aux[2]
             if psum_axis is not None:
                 g = jax.lax.psum(g, psum_axis)
                 loss = jax.lax.psum(loss, psum_axis)
+                n_mask = jax.lax.psum(n_mask, psum_axis)
             opt_vars, st = adam.update(opt_vars, g, st, lr_tree)
             better = loss < best_loss
             best_loss = jnp.where(better, loss, best_loss)
             best_cam = jnp.where(better, opt_vars["cam"], best_cam)
+            best_nm = jnp.where(better, n_mask, best_nm)
             first_loss = jnp.where(it == 0, loss, first_loss)
-            return opt_vars, st, best_loss, best_cam, first_loss, k
+            return opt_vars, st, best_loss, best_cam, best_nm, first_loss, k
 
-        opt_vars, _, best_loss, best_cam, first_loss, _ = jax.lax.fori_loop(
-            0, opts.iters, body, init)
+        (opt_vars, _, best_loss, best_cam, best_nm, first_loss,
+         _) = jax.lax.fori_loop(0, opts.iters, body, init)
     ef_out = opt_vars.get("exp_feat")
     mlp_out = opt_vars.get("exp_mlp")
+
+    out_cam = best_cam
+    if health is None:
+        health_out = jnp.zeros((2,))
+    else:
+        ema, nrej = health[0], health[1]
+        best_nm = best_nm.astype(jnp.float32)
+        mean_best = best_loss / jnp.maximum(best_nm, 1.0)
+        total_px = jnp.float32(opts.pixels)
+        if psum_axis is not None:
+            total_px = total_px * jax.lax.psum(1, psum_axis)
+        # two failure signatures: (a) per-pixel loss far above the healthy
+        # EMA (the optimizer converged somewhere photometrically wrong);
+        # (b) mask-support collapse — almost every ray lost its neighbors
+        # / failed the gates, so the "optimum" is unconstrained noise
+        bad_loss = (ema > 0) & (mean_best > opts.health_gate * ema)
+        bad_support = best_nm < 0.05 * total_px
+        unhealthy = (opts.health_gate > 0) & (bad_loss | bad_support)
+        out_cam = jnp.where(unhealthy, cam7_init, best_cam)
+        ema_new = jnp.where(
+            unhealthy, ema,
+            jnp.where(ema > 0, 0.95 * ema + 0.05 * mean_best, mean_best))
+        health_out = jnp.stack([ema_new,
+                                nrej + unhealthy.astype(jnp.float32)])
     # the 4x4 pose is produced in-program: converting on the host would
     # dispatch ~10 eager device ops (each a multi-ms round trip on remote
     # runtimes)
     from ..ops.camera import c2w_from_tensor, c2w_to_4x4
 
-    best_c2w44 = c2w_to_4x4(c2w_from_tensor(best_cam))
-    return best_cam, best_c2w44, first_loss, best_loss, ef_out, mlp_out
+    best_c2w44 = c2w_to_4x4(c2w_from_tensor(out_cam))
+    return out_cam, best_c2w44, first_loss, best_loss, ef_out, mlp_out, \
+        health_out
 
 
 track_frame = partial(jax.jit, static_argnames=(

@@ -140,6 +140,32 @@ def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
                     cell_fill=fill)
 
 
+def build_adaptive(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
+                   table_size: int, max_per_cell: int = 16,
+                   max_doublings: int = 3) -> HashGrid:
+    """build(), retrying with doubled max_per_cell until nothing drops.
+
+    For OFF-hot-path rebuilds only (PGO-correction rebuilds, the end-state
+    global merge, resume, mesh extraction): a dropped point is invisible to
+    every k-NN consumer — it exists in the buffer but is never rendered or
+    matched. The live per-frame insert path keeps its fixed-capacity gate;
+    rebuild events are host-triggered and rare, so a host sync on n_dropped
+    plus at most max_doublings recompiles (persistent-cached) is cheap.
+    Measured need: the room0_r3d merged global map (136k points) overflowed
+    21% of its points (28284 dropped) at the fragment-map capacity M=16 —
+    duplicate-averaged fragment overlap raises per-cell density past any
+    single fragment's. Downstream programs specialize on the grid's M
+    automatically (shapes carry it)."""
+    M = max_per_cell
+    grid = build(points, valid, cell_size, table_size, M)
+    for _ in range(max_doublings):
+        if int(grid.n_dropped) == 0:
+            break
+        M *= 2
+        grid = build(points, valid, cell_size, table_size, M)
+    return grid
+
+
 def insert(grid: HashGrid, table_size: int, new_points: jnp.ndarray,
            new_idx: jnp.ndarray, new_valid: jnp.ndarray) -> HashGrid:
     """Incrementally add a batch of points to an existing index.

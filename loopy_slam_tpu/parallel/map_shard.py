@@ -504,19 +504,20 @@ def make_map_shard_track(mesh: Mesh, topts, ropts,
     replicated Adam update is identical everywhere. Wraps
     mapping.tracker._track_frame_impl.
 
-    step(params, smap, color, depth, cam7, key[, sel_i, sel_j][, r_query]
-         [, exposure_feat]) with the flags choosing the optional inputs.
+    step(params, smap, color, depth, cam7, key, health[, sel_i, sel_j]
+         [, r_query][, exposure_feat]) with the flags choosing the
+    optional inputs.
     """
     from ..mapping.tracker import _track_frame_impl
 
     n = mesh.devices.size
     topts_l = topts._replace(pixels=max(topts.pixels // n, 1))
     n_extra = 2 * use_selected + has_rq + has_exposure
-    in_specs = (P(), SMAP_SPEC, P(), P(), P(), P()) + (P(),) * n_extra
+    in_specs = (P(), SMAP_SPEC, P(), P(), P(), P(), P()) + (P(),) * n_extra
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
-             out_specs=(P(),) * 6, check_vma=False)
-    def _track(params, smap_st, color, depth, cam7, key, *rest):
+             out_specs=(P(),) * 7, check_vma=False)
+    def _track(params, smap_st, color, depth, cam7, key, health, *rest):
         s = _local(smap_st)
         i = 0
         sel_i = sel_j = rq = ef = None
@@ -551,7 +552,7 @@ def make_map_shard_track(mesh: Mesh, topts, ropts,
         return _track_frame_impl(
             params, s.pos, s.grid, s.feat, color, depth, cam7, key,
             topts_l, ropts, sel_i, sel_j, rq, use_selected, ef,
-            psum_axis=AXIS, eval_fn_builder=eval_fn_builder)
+            psum_axis=AXIS, eval_fn_builder=eval_fn_builder, health=health)
 
     return jax.jit(_track)
 

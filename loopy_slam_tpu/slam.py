@@ -231,6 +231,9 @@ class LoopySLAM:
         self.cur_r_query = None
         self.encode_exposure = cfg["model"]["encode_exposure"]
         self._prev_frame = None  # (color, depth) for the visual odometer
+        # tracking health gate state [ema_mean_loss, n_rejected]; lives on
+        # device for the whole run (mapping/tracker.py health docstring)
+        self.track_health = jnp.zeros((2,))
         self.exposure_feat = jnp.zeros((cfg["model"]["exposure_dim"],))
         self.kf_exposure: Dict[int, np.ndarray] = {}
         # per-mapped-frame exposure latents + on-disk color-decoder
@@ -417,7 +420,8 @@ class LoopySLAM:
                     self.shard_mesh, self.topts, self.ropts_tracker,
                     use_selected=use_selected, has_rq=has_rq,
                     has_exposure=self.encode_exposure))
-            args = [self.params, self._smap, color, depth, cam7, kt]
+            args = [self.params, self._smap, color, depth, cam7, kt,
+                    self.track_health]
             if use_selected:
                 args += [sel_i, sel_j]
             if has_rq:
@@ -425,17 +429,18 @@ class LoopySLAM:
             if self.encode_exposure:
                 args += [self.exposure_feat]
             (best_cam, best_c2w44, first_loss, best_loss, ef,
-             exp_mlp) = step(*args)
+             exp_mlp, self.track_health) = step(*args)
         else:
             s = self.map_state
             (best_cam, best_c2w44, first_loss, best_loss, ef,
-             exp_mlp) = tracker_mod.track_frame(
+             exp_mlp, self.track_health) = tracker_mod.track_frame(
                 self.params, s.pos, s.grid, s.feat, color, depth, cam7, kt,
                 self.topts, self.ropts_tracker,
                 sel_i=sel_i, sel_j=sel_j, r_query=self.cur_r_query,
                 use_selected=use_selected,
                 exposure_feat=(self.exposure_feat if self.encode_exposure
-                               else None))
+                               else None),
+                health=self.track_health)
         if self.encode_exposure and ef is not None:
             # tracker co-optimizes the exposure latent and MLP
             # (Tracker.py:329-344); both are shared with the mapper
@@ -447,6 +452,12 @@ class LoopySLAM:
         if self.verbose:
             print(f"idx:{idx}, re-rendering loss: "
                   f"{float(first_loss):.2f}->{float(best_loss):.2f}")
+            th = np.asarray(self.track_health)
+            if th[1] > getattr(self, "_last_rejects", 0):
+                self._last_rejects = th[1]
+                print(f"idx:{idx}, tracking health gate: pose update "
+                      f"REJECTED (total {int(th[1])}), kept motion-model "
+                      f"pose; loss ema {th[0]:.3f}")
         if self.wandb.enabled:
             self.wandb.log({"idx_track": idx,
                             "tracking_loss": float(best_loss)})
@@ -621,10 +632,10 @@ class LoopySLAM:
                         jnp.asarray(feat_host[carry])),
                     count=jnp.asarray(n_carry, jnp.int32))
             state = state._replace(
-                grid=knn.build(state.pos, valid_mask(state),
-                               self.mopts_map.cell_size,
-                               self.mopts_map.table_size,
-                               self.mopts_map.max_per_cell),
+                grid=knn.build_adaptive(state.pos, valid_mask(state),
+                                        self.mopts_map.cell_size,
+                                        self.mopts_map.table_size,
+                                        self.mopts_map.max_per_cell),
                 in_pos=s.in_pos, in_rgb=s.in_rgb, in_count=s.in_count)
             self.map_state = state
             self._count_host = n_carry
@@ -729,9 +740,13 @@ class LoopySLAM:
         else:
             s = self.map_state
             pos = s.pos @ N[:3, :3].T + N[:3, 3]
-            grid = knn.build(pos, valid_mask(s), self.mopts_map.cell_size,
-                             self.mopts_map.table_size,
-                             self.mopts_map.max_per_cell)
+            # adaptive: the rigid move re-bins points against the hash
+            # lattice, and two cells re-binned into one row can overflow it
+            # (room0_r3d: drops grew 56 -> 948 over 15 PGO corrections)
+            grid = knn.build_adaptive(pos, valid_mask(s),
+                                      self.mopts_map.cell_size,
+                                      self.mopts_map.table_size,
+                                      self.mopts_map.max_per_cell)
             self.map_state = s._replace(pos=pos, grid=grid)
         save_checkpoint(
             os.path.join(self.output, "ckpts", f"{seg_i:05d}_after_pgo.pkl"),
@@ -757,9 +772,14 @@ class LoopySLAM:
         feat = jnp.zeros((cap, 2 * c_dim), jnp.float32).at[:n].set(
             jnp.asarray(np.concatenate([geo, col], axis=1)))
         count = jnp.asarray(n, jnp.int32)
-        grid = knn.build(pos, jnp.arange(cap) < count,
-                         self.mopts_map.cell_size, self.mopts_map.table_size,
-                         self.mopts_map.max_per_cell)
+        # adaptive capacity: duplicate-averaged fragment overlap raises
+        # per-cell density past any single fragment's (room0_r3d: 28284 of
+        # 136k merged points — 21% — overflowed at the fragment-map M and
+        # became invisible to every k-NN consumer in color refine + eval)
+        grid = knn.build_adaptive(pos, jnp.arange(cap) < count,
+                                  self.mopts_map.cell_size,
+                                  self.mopts_map.table_size,
+                                  self.mopts_map.max_per_cell)
         self.map_state = MapState(pos=pos, feat=feat, count=count,
                                   grid=grid, in_pos=s.in_pos,
                                   in_rgb=s.in_rgb, in_count=s.in_count)
@@ -1293,9 +1313,10 @@ class LoopySLAM:
         feat = (jnp.zeros((cap, 2 * self.mopts_map.c_dim), jnp.float32)
                 .at[:count, :self.mopts_map.c_dim].set(jnp.asarray(m["geo"]))
                 .at[:count, self.mopts_map.c_dim:].set(jnp.asarray(m["col"])))
-        grid = knn.build(pos, jnp.arange(cap) < count,
-                         self.mopts_map.cell_size, self.mopts_map.table_size,
-                         self.mopts_map.max_per_cell)
+        grid = knn.build_adaptive(pos, jnp.arange(cap) < count,
+                                  self.mopts_map.cell_size,
+                                  self.mopts_map.table_size,
+                                  self.mopts_map.max_per_cell)
         r = ckpt["resume"]
         in_cap = self.map_state.in_pos.shape[0]
         if int(r["in_count"]) > in_cap:
@@ -1331,6 +1352,8 @@ class LoopySLAM:
         self.kf_gt_c2w = dict(r["kf_gt_c2w"])
         self.selected_keyframes = dict(ckpt["selected_keyframes"])
         self.exposure_feat = jnp.asarray(r["exposure_feat"])
+        if "track_health" in r:  # absent in pre-gate checkpoints
+            self.track_health = jnp.asarray(r["track_health"])
         self.prev_mapped_idx = r["prev_mapped_idx"]
 
         # ---- keyframe pixel ring: re-read frames from the dataset in the
@@ -1501,6 +1524,10 @@ class LoopySLAM:
             if tr:
                 print(f"tracking: n={len(tr)} median "
                       f"{np.median(tr)*1e3:.0f} ms")
+            th = np.asarray(self.track_health)
+            if th[1] > 0 or self.topts.health_gate > 0:
+                print(f"tracking health gate: {int(th[1])} pose updates "
+                      f"rejected (loss ema {th[0]:.3f})")
             if mp:
                 print(f"mapping:  n={len(mp)} median "
                       f"{np.median(mp)*1e3:.0f} ms")
@@ -1647,6 +1674,7 @@ class LoopySLAM:
                 "kf_exposure": self.kf_exposure,
                 "mapped_exposure": self.mapped_exposure,
                 "exposure_feat": np.asarray(self.exposure_feat),
+                "track_health": np.asarray(self.track_health),
                 "prev_mapped_idx": self.prev_mapped_idx,
                 "fragments": self.fm.fragments,
                 "active_sensor_start": self.active_sensor_start,

@@ -91,8 +91,10 @@ def main():
                       + ck["map"]["col"].shape[1])).at[:n].set(
         jnp.asarray(np.concatenate([ck["map"]["geo"], ck["map"]["col"]],
                                    axis=1)))
-    grid = knn.build(pos, jnp.arange(cap) < n, slam.mopts_map.cell_size,
-                     slam.mopts_map.table_size, slam.mopts_map.max_per_cell)
+    grid = knn.build_adaptive(pos, jnp.arange(cap) < n,
+                              slam.mopts_map.cell_size,
+                              slam.mopts_map.table_size,
+                              slam.mopts_map.max_per_cell)
     slam.map_state = slam.map_state._replace(
         pos=pos, feat=feat, count=jnp.asarray(n, jnp.int32),
         grid=grid)

@@ -209,13 +209,54 @@ class TUM_RGBD(BaseDataset):
 # ---------------------------------------------------------------------------
 
 class Synthetic(BaseDataset):
-    """Analytic RGBD of the inside of a textured box room.
+    """Analytic RGBD of a furnished, textured box room.
 
-    Rays are intersected with the interior of an axis-aligned box; color is
-    a smooth procedural texture of the hit point. Poses follow a slow orbit
-    with small rotations, the same motion regime as a handheld RGBD camera.
-    Everything is derived deterministically from cfg['data']['seed'].
+    Rays are intersected with the interior of an axis-aligned box plus a
+    fixed set of interior primitives (boxes and spheres — "furniture");
+    color is a procedural texture of the hit point. Poses follow a slow
+    orbit with small rotations, the same motion regime as a handheld RGBD
+    camera. Everything is deterministic.
+
+    Scene v2 rationale (the v1 empty box was degenerate two ways, and both
+    bit at full scale):
+      * geometry — with a single wall filling the view, point-to-plane
+        ICP/tracking has a 3-DoF null space (slides along the plane kept
+        residual ≈ 0); the interior objects give depth structure in every
+        view so registration and tracking are well-posed, like the
+        furnished rooms of the real Replica release.
+      * texture — the v1 checker + commensurate sinusoids were periodic;
+        at frame ~1810 of the 2000-frame fixture the tracker locked onto a
+        one-period-shifted photometric alias (~20 cm / 7 deg, stable).
+        v2 uses two incommensurate oblique lattices plus a low-frequency
+        position ramp that makes every surface point globally unique.
     """
+
+    # interior objects, all ≥0.5 m clear of the camera-path envelope
+    # (|x|≤0.45, |y|≤0.10, z∈[-0.50, 0.10] for the default orbit):
+    # axis-aligned boxes as (lo_xyz, hi_xyz) rows...
+    _BOXES = np.array([
+        [1.05, -1.50, -0.90, 1.75, -0.20, 0.30],    # cabinet on +x wall
+        [-1.75, -1.50, 0.50, -1.05, -0.65, 1.40],   # table in -x/+z corner
+        [-0.90, -0.15, -1.98, 0.20, 0.90, -1.50],   # shelf on -z wall
+        [0.50, 0.75, -1.95, 1.90, 1.50, -0.85],     # soffit +x/-z ceiling
+        [-0.50, -1.50, 1.10, 0.50, -0.75, 1.80],    # chest on +z wall
+    ])
+    # ...and spheres as (center_xyz, radius) rows
+    _SPHERES = np.array([
+        [0.80, -1.08, 1.35, 0.42],
+        [-1.45, 0.85, -1.25, 0.35],
+    ])
+    # per-surface color multipliers: row 0 = walls, then boxes, then spheres
+    _TINTS = np.array([
+        [1.00, 1.00, 1.00],
+        [1.00, 0.72, 0.62],
+        [0.68, 1.00, 0.74],
+        [0.70, 0.80, 1.00],
+        [1.00, 0.95, 0.58],
+        [0.85, 0.68, 1.00],
+        [0.62, 0.95, 1.00],
+        [1.00, 0.70, 0.88],
+    ])
 
     def __init__(self, cfg, input_folder=None):
         super().__init__(cfg, input_folder)
@@ -250,20 +291,72 @@ class Synthetic(BaseDataset):
         return c2w
 
     @staticmethod
-    def _texture(p: np.ndarray) -> np.ndarray:
-        r = 0.5 + 0.5 * np.sin(3.1 * p[..., 0] + 1.7 * p[..., 2])
-        g = 0.5 + 0.5 * np.sin(2.3 * p[..., 1] + 0.9 * p[..., 0] + 1.0)
-        b = 0.5 + 0.5 * np.sin(4.7 * p[..., 2] + 2.9 * p[..., 1] + 2.0)
-        # add a sharper checker component so tracking has gradients
-        ch = ((np.floor(p[..., 0] * 2.5) + np.floor(p[..., 1] * 2.5)
-               + np.floor(p[..., 2] * 2.5)) % 2.0)
+    def _texture(p: np.ndarray, obj_id: Optional[np.ndarray] = None
+                 ) -> np.ndarray:
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        r = 0.5 + 0.5 * np.sin(3.1 * x + 1.7 * z)
+        g = 0.5 + 0.5 * np.sin(2.3 * y + 0.9 * x + 1.0)
+        b = 0.5 + 0.5 * np.sin(4.7 * z + 2.9 * y + 2.0)
         rgb = np.stack([r, g, b], axis=-1)
+        # sharp-edged but APERIODIC checker: two oblique lattices with
+        # incommensurate frequencies — their composite never repeats, so a
+        # one-cell photometric slide is not an alias (the v1 regular
+        # checker produced a stable ~20 cm tracking alias at full scale)
+        c1 = (np.floor(x * 2.5 + y * 0.31) + np.floor(y * 2.5 + z * 0.27)
+              + np.floor(z * 2.5 + x * 0.23)) % 2.0
+        c2 = (np.floor(x * 1.618 + z * 0.517)
+              + np.floor(y * 1.327 + x * 0.411)) % 2.0
+        ch = 0.7 * c1 + 0.3 * c2
+        # globally-unique low-frequency ramp: every point in the room gets
+        # a distinct smooth base color, killing translation aliases
+        ramp = np.stack([0.125 * (x + 2.0) / 4.0 - 0.0625,
+                         0.125 * (y + 1.5) / 3.0 - 0.0625,
+                         0.125 * (z + 2.0) / 4.0 - 0.0625], axis=-1)
+        out = 0.60 * rgb + 0.25 * ch[..., None] + 0.075 + ramp
+        if obj_id is not None:
+            out = out * Synthetic._TINTS[obj_id]
         # clip INSIDE (0,1): targets at exactly 0/1 demand infinite
         # pre-sigmoid logits from the color head, and with an L1 loss that
         # drives the sigmoid into gradient-dead saturation (a seed-
         # dependent color collapse observed on TPU). Natural RGBD frames
         # (Replica/TUM PNGs) are rarely exactly 0/1 either.
-        return np.clip(0.75 * rgb + 0.25 * ch[..., None], 0.03, 0.97)
+        return np.clip(out, 0.03, 0.97)
+
+    def _ray_scene(self, rays_o: np.ndarray, rays_d: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Nearest hit of rays (origin 3, dirs ...x3) with the room walls
+        and interior objects. Returns (t_hit ..., obj_id ... int32) where
+        obj_id 0 = walls, 1.. = _BOXES rows, then _SPHERES rows."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / rays_d
+            # interior ray/box: per axis the positive-t face distance
+            t_far = np.maximum((self.box_lo - rays_o) * inv,
+                               (self.box_hi - rays_o) * inv)
+        t_hit = np.min(t_far, axis=-1)
+        obj_id = np.zeros(t_hit.shape, np.int32)
+        for k, row in enumerate(self._BOXES):
+            lo, hi = row[:3], row[3:]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = (lo - rays_o) * inv
+                tb = (hi - rays_o) * inv
+            tnear = np.max(np.minimum(ta, tb), axis=-1)
+            tfar = np.min(np.maximum(ta, tb), axis=-1)
+            hit = (tnear > 1e-6) & (tnear <= tfar) & (tnear < t_hit)
+            t_hit = np.where(hit, tnear, t_hit)
+            obj_id = np.where(hit, k + 1, obj_id)
+        for k, row in enumerate(self._SPHERES):
+            c, rad = row[:3], row[3]
+            oc = rays_o - c
+            a = np.sum(rays_d * rays_d, axis=-1)
+            bq = 2.0 * np.sum(rays_d * oc, axis=-1)
+            disc = bq * bq - 4.0 * a * (np.dot(oc, oc) - rad * rad)
+            ok = disc > 0
+            t = np.where(ok, (-bq - np.sqrt(np.abs(disc))) / (2.0 * a),
+                         np.inf)
+            hit = ok & (t > 1e-6) & (t < t_hit)
+            t_hit = np.where(hit, t, t_hit)
+            obj_id = np.where(hit, len(self._BOXES) + 1 + k, obj_id)
+        return t_hit, obj_id
 
     def render_frame(self, c2w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         H, W = self.H, self.W
@@ -274,14 +367,9 @@ class Synthetic(BaseDataset):
                          -np.ones_like(i)], axis=-1)
         rays_d = dirs @ c2w[:3, :3].T
         rays_o = c2w[:3, 3]
-        # interior ray/box: for each axis take the positive-t face distance
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_lo = (self.box_lo - rays_o) / rays_d
-            t_hi = (self.box_hi - rays_o) / rays_d
-        t_far = np.maximum(t_lo, t_hi)        # exit distance per axis
-        t_hit = np.min(t_far, axis=-1)
+        t_hit, obj_id = self._ray_scene(rays_o, rays_d)
         hit = rays_o + rays_d * t_hit[..., None]
-        color = self._texture(hit).astype(np.float32)
+        color = self._texture(hit, obj_id).astype(np.float32)
         # dirs has z = -1, so the ray parameter t equals z-depth along the
         # optical axis — exactly the convention of stored dataset depth
         # (pts = rays_o + rays_d * depth reproduces the hit point).
@@ -299,29 +387,59 @@ class Synthetic(BaseDataset):
         return index, color, depth, self.poses[index].astype(np.float32)
 
     def gt_mesh(self, divisions: int = 60):
-        """Analytic ground-truth mesh of the box interior (inward faces),
-        for reconstruction evaluation without downloads."""
-        lo, hi = self.box_lo, self.box_hi
+        """Analytic ground-truth mesh of the room (walls + interior
+        objects), for reconstruction evaluation without downloads."""
         verts_all, faces_all = [], []
         n0 = 0
-        for axis in range(3):
-            for side, val in ((0, lo[axis]), (1, hi[axis])):
+
+        def add_grid_face(axis, val, lo, hi, div_a, div_b):
+            nonlocal n0
+            a, b = [i for i in range(3) if i != axis]
+            ua = np.linspace(lo[a], hi[a], div_a)
+            ub = np.linspace(lo[b], hi[b], div_b)
+            A, B = np.meshgrid(ua, ub, indexing="ij")
+            V = np.zeros((div_a, div_b, 3))
+            V[..., axis] = val
+            V[..., a] = A
+            V[..., b] = B
+            verts_all.append(V.reshape(-1, 3))
+            idx = np.arange(div_a * div_b).reshape(div_a, div_b)
+            q = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:],
+                          idx[1:, 1:]], -1).reshape(-1, 4)
+            faces_all.append(n0 + np.concatenate(
+                [q[:, [0, 1, 2]], q[:, [1, 3, 2]]], 0))
+            n0 += div_a * div_b
+
+        def add_box(lo, hi, div_per_m):
+            for axis in range(3):
                 a, b = [i for i in range(3) if i != axis]
-                ua = np.linspace(lo[a], hi[a], divisions)
-                ub = np.linspace(lo[b], hi[b], divisions)
-                A, B = np.meshgrid(ua, ub, indexing="ij")
-                V = np.zeros((divisions, divisions, 3))
-                V[..., axis] = val
-                V[..., a] = A
-                V[..., b] = B
-                verts_all.append(V.reshape(-1, 3))
-                idx = np.arange(divisions * divisions).reshape(
-                    divisions, divisions)
-                q = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:],
-                              idx[1:, 1:]], -1).reshape(-1, 4)
-                faces_all.append(n0 + np.concatenate(
-                    [q[:, [0, 1, 2]], q[:, [1, 3, 2]]], 0))
-                n0 += divisions * divisions
+                da = max(2, int(np.ceil((hi[a] - lo[a]) * div_per_m)))
+                db = max(2, int(np.ceil((hi[b] - lo[b]) * div_per_m)))
+                for val in (lo[axis], hi[axis]):
+                    add_grid_face(axis, val, lo, hi, da, db)
+
+        # walls at the requested resolution, objects at matched density
+        div_per_m = divisions / float((self.box_hi - self.box_lo).max())
+        add_box(self.box_lo, self.box_hi, div_per_m)
+        for row in self._BOXES:
+            add_box(row[:3], row[3:], div_per_m)
+        for row in self._SPHERES:
+            c, rad = row[:3], row[3]
+            nu = max(8, int(np.ceil(2 * np.pi * rad * div_per_m)))
+            nv = max(5, nu // 2)
+            th = np.linspace(0, np.pi, nv)
+            ph = np.linspace(0, 2 * np.pi, nu)
+            T, P = np.meshgrid(th, ph, indexing="ij")
+            V = np.stack([c[0] + rad * np.sin(T) * np.cos(P),
+                          c[1] + rad * np.cos(T),
+                          c[2] + rad * np.sin(T) * np.sin(P)], -1)
+            verts_all.append(V.reshape(-1, 3))
+            idx = np.arange(nv * nu).reshape(nv, nu)
+            q = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:],
+                          idx[1:, 1:]], -1).reshape(-1, 4)
+            faces_all.append(n0 + np.concatenate(
+                [q[:, [0, 1, 2]], q[:, [1, 3, 2]]], 0))
+            n0 += nv * nu
         return np.concatenate(verts_all), np.concatenate(faces_all)
 
 

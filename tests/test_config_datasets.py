@@ -52,11 +52,24 @@ def test_synthetic_dataset_geometry():
                      -np.ones_like(i, float)], -1)
     pts = (dirs @ c2w[:3, :3].T) * depth[..., None] + c2w[:3, 3]
     lo, hi = ds.box_lo, ds.box_hi
-    on_face = np.zeros(pts.shape[:2], bool)
+    on_wall = np.zeros(pts.shape[:2], bool)
     for a in range(3):
-        on_face |= np.isclose(pts[..., a], lo[a], atol=1e-3)
-        on_face |= np.isclose(pts[..., a], hi[a], atol=1e-3)
-    assert on_face.mean() > 0.999
+        on_wall |= np.isclose(pts[..., a], lo[a], atol=1e-3)
+        on_wall |= np.isclose(pts[..., a], hi[a], atol=1e-3)
+    # non-wall pixels must lie on an interior object's surface
+    on_obj = np.zeros(pts.shape[:2], bool)
+    for row in Synthetic._BOXES:
+        blo, bhi = row[:3], row[3:]
+        near = ((pts > blo - 1e-3) & (pts < bhi + 1e-3)).all(-1)
+        face = np.zeros(pts.shape[:2], bool)
+        for a in range(3):
+            face |= np.isclose(pts[..., a], blo[a], atol=1e-3)
+            face |= np.isclose(pts[..., a], bhi[a], atol=1e-3)
+        on_obj |= near & face
+    for row in Synthetic._SPHERES:
+        r = np.linalg.norm(pts - row[:3], axis=-1)
+        on_obj |= np.isclose(r, row[3], atol=1e-3)
+    assert (on_wall | on_obj).mean() > 0.999
     inside = ((pts > lo - 1e-3) & (pts < hi + 1e-3)).all(-1)
     assert inside.all()
 

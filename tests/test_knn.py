@@ -166,3 +166,29 @@ def test_rigid_transform_rebuild_rebinning_drops_are_bounded():
     _, _, nn = knn.query(g1, moved, jnp.asarray(centers, jnp.float32),
                          8, 0.1, T, M)
     assert int(jnp.sum(nn > 0)) >= len(centers) * 0.8
+
+
+def test_build_adaptive_recovers_overflowed_points():
+    """Off-hot-path rebuilds must not silently hide points: build_adaptive
+    doubles max_per_cell until n_dropped == 0 (room0_r3d's merged global
+    map overflowed 21% of its 136k points at the fragment-map capacity —
+    all invisible to color refine and final eval)."""
+    rng = np.random.default_rng(11)
+    cell, M, T = 0.1, 8, 2 ** 12
+    # 3x the row capacity packed into each of 27 cells
+    base = np.stack(np.meshgrid(*[np.arange(3)] * 3),
+                    -1).reshape(-1, 3) * cell
+    pts = (base[:, None, :]
+           + rng.uniform(0.01, 0.09, (len(base), 3 * M, 3))).reshape(-1, 3)
+    pts = jnp.asarray(pts, jnp.float32)
+    valid = jnp.ones(len(pts), bool)
+
+    g_fixed = knn.build(pts, valid, cell, T, M)
+    assert int(g_fixed.n_dropped) > 0  # the failure mode exists
+
+    g = knn.build_adaptive(pts, valid, cell, T, M)
+    assert int(g.n_dropped) == 0
+    assert g.cell_data.shape[1] == 4 * M  # two doublings needed
+    # every point is reachable: query at each point finds itself
+    D, I, nn = knn.query(g, pts, pts, 1, 0.02, T, g.cell_data.shape[1])
+    assert bool(jnp.all(nn >= 1))

@@ -73,7 +73,7 @@ def test_tracking_recovers_perturbed_pose(cfg):
     pert[4:] += np.array([0.02, -0.015, 0.02], np.float32)   # 2 cm offset
     pert[:4] += np.array([0.0, 0.01, -0.01, 0.01], np.float32)
 
-    best, _c2w44, first_loss, best_loss, _ef, _em = tracker_mod.track_frame(
+    best, _c2w44, first_loss, best_loss, _ef, _em, _h = tracker_mod.track_frame(
         params, state.pos, state.grid, state.feat,
         color, depth, jnp.asarray(pert), jax.random.PRNGKey(5),
         topts, ropts_t)
@@ -111,7 +111,7 @@ def test_tracking_cached_matches_exact(cfg):
         ("exact", base._replace(knn_refresh=0)),
         ("cached", base._replace(knn_refresh=10, pool_factor=4)),
     ]:
-        best, _c44, first_loss, best_loss, _ef, _em = \
+        best, _c44, first_loss, best_loss, _ef, _em, _h = \
             tracker_mod.track_frame(
                 params, state.pos, state.grid, state.feat,
                 color, depth, jnp.asarray(pert), jax.random.PRNGKey(5),
@@ -129,3 +129,63 @@ def test_tracking_cached_matches_exact(cfg):
     # and the two final poses agree to a few mm / milli-quat units
     assert np.abs(results["exact"] - results["cached"]).max() < 2e-2, (
         results["exact"], results["cached"])
+
+
+def test_tracking_health_gate_rejects_divergent_frame(cfg):
+    """Failure containment (mapping/tracker.py health docstring): frames
+    whose tracking loss blows past the EMA, or whose mask support
+    collapses, must NOT move the pose — the motion-model initialization is
+    kept and the rejection is counted."""
+    cfg = small_cfg()
+    ds, state, params, mopts, ropts, (color, depth, c2w), _ = \
+        build_mapped_scene(cfg, n_iters=150)
+    topts = tracker_mod.TrackOptions.from_cfg(cfg)._replace(
+        pixels=300, iters=20, health_gate=5.0,
+        H=cfg["cam"]["H"], W=cfg["cam"]["W"],
+        fx=cfg["cam"]["fx"], fy=cfg["cam"]["fy"],
+        cx=cfg["cam"]["cx"], cy=cfg["cam"]["cy"])
+    ropts_t = RenderOptions.from_cfg(
+        cfg, sigmoid_coef=cfg["rendering"]["sigmoid_coef_tracker"])
+
+    gt7 = tensor_from_c2w(c2w)
+    pert = gt7.copy()
+    pert[4:] += np.array([0.01, -0.008, 0.01], np.float32)
+
+    def track(depth_in, health, topts_in, seed=5):
+        return tracker_mod.track_frame(
+            params, state.pos, state.grid, state.feat,
+            color, depth_in, jnp.asarray(pert), jax.random.PRNGKey(seed),
+            topts_in, ropts_t, health=health)
+
+    # healthy frame: seeds the EMA, pose update accepted
+    best1, _c, _f, _b, _ef, _em, health1 = track(depth, jnp.zeros((2,)),
+                                                 topts)
+    health1_np = np.asarray(health1)
+    assert health1_np[0] > 0          # EMA seeded
+    assert health1_np[1] == 0         # accepted
+    assert np.abs(np.asarray(best1) - pert).max() > 1e-5  # pose moved
+
+    # support collapse: a zero-depth frame (total sensor dropout) zeroes
+    # the d>0 mask term on every ray -> rejected via the support arm.
+    # NOTE a merely off-map frame (e.g. depth*2) does NOT collapse support:
+    # z samples follow GT depth, the rendered depth tracks the band center,
+    # and the loss gates are relative — measured best_nm stays ~full.
+    best2, _c, _f, _b, _ef, _em, health2 = track(depth * 0.0, health1,
+                                                 topts, seed=7)
+    health2_np = np.asarray(health2)
+    assert health2_np[1] == 1, health2_np          # rejected
+    np.testing.assert_allclose(np.asarray(best2), pert, atol=1e-7)
+    # EMA frozen on rejection
+    np.testing.assert_allclose(health2_np[0], health1_np[0], rtol=1e-6)
+
+    # loss-gate arm: with a tiny pre-seeded EMA, a NORMAL frame's
+    # per-pixel loss exceeds 5x ema -> rejected, pose kept at init
+    tiny = jnp.asarray([1e-6, 0.0])
+    best3, _c, _f, _b, _ef, _em, health3 = track(depth, tiny, topts)
+    assert np.asarray(health3)[1] == 1
+    np.testing.assert_allclose(np.asarray(best3), pert, atol=1e-7)
+
+    # gate disabled: the same tiny-EMA frame is accepted (pose moves)
+    best4, _c, _f, _b, _ef, _em, _h = track(
+        depth, tiny, topts._replace(health_gate=0.0))
+    assert np.abs(np.asarray(best4) - pert).max() > 1e-5

@@ -36,11 +36,18 @@ def test_fuse_synthetic_room_geometry():
     verts, faces, colors = tsdf.extract_mesh(grid)
     assert len(verts) > 500
     lo, hi = ds.box_lo, ds.box_hi
-    # all surface vertices near a box face
+    # all surface vertices near a wall face or an interior object
     near_face = np.zeros(len(verts), bool)
     for a in range(3):
         near_face |= np.abs(verts[:, a] - lo[a]) < 0.1
         near_face |= np.abs(verts[:, a] - hi[a]) < 0.1
+    for row in Synthetic._BOXES:
+        blo, bhi = row[:3], row[3:]
+        inb = ((verts > blo - 0.1) & (verts < bhi + 0.1)).all(-1)
+        near_face |= inb
+    for row in Synthetic._SPHERES:
+        r = np.linalg.norm(verts - row[:3], axis=-1)
+        near_face |= np.abs(r - row[3]) < 0.1
     assert near_face.mean() > 0.98, near_face.mean()
     # mesh is watertight-ish in observed area: faces reference valid verts
     assert faces.max() < len(verts)
