@@ -76,6 +76,10 @@ def main():
     rays_per_track = cfg["tracking"]["pixels"] * cfg["tracking"]["iters"]
     mrays = rays_per_track / t_track / 1e6 if t_track > 0 else 0.0
 
+    # honest amortized throughput: the compile tax cannot hide behind the
+    # median-based steady-state number (round-3 verdict: they were 19x apart)
+    amortized_fps = cfg["data"]["n_frames"] / total if total > 0 else 0.0
+
     stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
     print(json.dumps({
         "track_times": [round(t, 3) for t in track.tolist()],
@@ -83,12 +87,14 @@ def main():
         "devices": [str(d) for d in jax.devices()],
         "frames": int(cfg["data"]["n_frames"]),
         "wall_total_s": round(total, 2),
+        "amortized_fps": round(amortized_fps, 4),
         "track_median_s": round(t_track, 4),
         "map_median_s": round(t_map, 4),
         "track_mrays_per_s": round(mrays, 3),
         "ate_rmse_m": round(stats["rmse"], 5),
         "ate_rmse_noalign_m": round(stats["rmse_no_align"], 5),
         "n_points": result["n_points"],
+        "health_rejects": int(np.asarray(slam.track_health)[1]),
     }), file=sys.stderr)
 
     print(json.dumps({
@@ -107,6 +113,14 @@ def main():
         print(f"QUALITY GATE FAILED: ate_rmse_m {stats['rmse']:.5f} > "
               f"{gate} — fps above is NOT at matched accuracy",
               file=sys.stderr)
+        sys.exit(1)
+    # health-gate false-positive gate (round-3 verdict weak #4): the bench
+    # scene is healthy end to end, so ANY rejected pose update is a gate
+    # miscalibration, caught here instead of inside a 10-hour flagship run
+    rejects = int(np.asarray(slam.track_health)[1])
+    if rejects > 0:
+        print(f"HEALTH GATE FALSE POSITIVE: {rejects} pose updates rejected "
+              "on the healthy bench scene", file=sys.stderr)
         sys.exit(1)
 
 

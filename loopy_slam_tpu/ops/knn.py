@@ -212,7 +212,7 @@ def insert(grid: HashGrid, table_size: int, new_points: jnp.ndarray,
 # Pallas candidate-selection kernel
 # ---------------------------------------------------------------------------
 
-def _select_kernel(rows_ref, q_ref, out_ref, *, k: int):
+def _select_kernel(rows_ref, q_ref, out_ref, *, k: int, id_bits: int):
     """Top-k nearest among a query's gathered candidates, VMEM-local.
 
     rows_ref: (B, C) f32 — stencil rows concatenated, C = S*M*4 lanes in
@@ -222,20 +222,25 @@ def _select_kernel(rows_ref, q_ref, out_ref, *, k: int):
       group (k_pad = k rounded up to 8 for sublane alignment).
 
     The candidate distance and its group id are packed into ONE sortable
-    int32 key: (bits(d2) & ~2047) | (lane >> 2) — d2 >= 0, so integer
-    ordering equals float ordering, the low 11 bits hold the candidate id
-    (ties break toward the lower id), and each of the k selection passes
-    needs only a min-reduce, one group-id compare, one masked extraction
-    and the key update — ~5 full-width scans instead of the ~14 of the
-    earlier min+first-lane+5-field-extraction formulation (measured 4.2 ->
-    ~1.8 ms at Q=25k, C=2592 on a v5e). D is returned with its 11 low
-    mantissa bits SET (relative error <= 2^-12, rounds up — an upper bound
-    on the exact distance, so radius tests never over-count); winner
-    positions are NOT extracted — the caller gathers them by index, which
-    the renderer folds into the feature gather it does anyway.
+    int32 key: (bits(d2) & ~id_mask) | (lane >> 2) — d2 >= 0, so integer
+    ordering equals float ordering, the low id_bits bits hold the
+    candidate id (ties break toward the lower id), and each of the k
+    selection passes needs only a min-reduce, one group-id compare, one
+    masked extraction and the key update — ~5 full-width scans instead of
+    the ~14 of the earlier min+first-lane+5-field-extraction formulation
+    (measured 4.2 -> ~1.8 ms at Q=25k, C=2592 on a v5e). id_bits is 11
+    for rows up to max_per_cell 75 and grows with the row (adaptive
+    global-merge rebuilds reach M=128 -> 12 bits; the r4 flagship run
+    died on a hard 11-bit assert exactly there). D is returned with its
+    id_bits low mantissa bits SET (relative error <= 2^(id_bits-23),
+    rounds up — an upper bound on the exact distance, so radius tests
+    never over-count); winner positions are NOT extracted — the caller
+    gathers them by index, which the renderer folds into the feature
+    gather it does anyway.
     """
     rows = rows_ref[:]
     B, C = rows.shape
+    id_mask = np.int32((1 << id_bits) - 1)
     k_pad = out_ref.shape[1] // 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     mod4 = lane & 3
@@ -255,19 +260,19 @@ def _select_kernel(rows_ref, q_ref, out_ref, *, k: int):
     bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
     bigk = jnp.int32(2 ** 31 - 1)
     key = jnp.where(mod4 == 0,
-                    (bits & jnp.int32(~2047)) | gid, bigk)
+                    (bits & jnp.int32(~id_mask)) | gid, bigk)
     idx_contrib = jnp.where(mod4 == 3, rows, 0.0)  # idxbits, lane l+3
 
     for kk in range(k):
         mk = jnp.min(key, axis=1, keepdims=True)   # (B, 1) packed winner
-        cid = mk & 2047
+        cid = mk & id_mask
         eqg = gid == cid                            # winner's 4-lane group
-        # decode with the 11 id bits SET: the true d2's mantissa low bits
+        # decode with the id bits SET: the true d2's mantissa low bits
         # were >= 0, so this is an upper bound on the exact distance —
         # D < r^2 then never over-counts neighbors relative to exact
         # (faiss) distances at the radius boundary
         out_ref[:, kk] = jax.lax.bitcast_convert_type(
-            mk | jnp.int32(2047), jnp.float32)[:, 0]
+            mk | id_mask, jnp.float32)[:, 0]
         out_ref[:, k_pad + kk] = jnp.sum(
             jnp.where(eqg, idx_contrib, 0.0), axis=1)
         key = jnp.where(eqg, bigk, key)
@@ -278,9 +283,15 @@ def _select_topk(rows: jnp.ndarray, q4: jnp.ndarray, k: int,
                  block: int = 0):
     """rows (Q, C), q4 (Q, 4) -> packed (Q, 2*k_pad) selection output."""
     Q, C = rows.shape
-    # the packed key holds the candidate id in 11 bits, and id 2047 is
-    # reserved as the exhausted marker
-    assert C <= 8188, "candidate row too wide for 11-bit packed ids"
+    # the packed key holds the candidate id in the float's low mantissa
+    # bits, with the all-ones id reserved as the exhausted marker: id_bits
+    # must cover C//4 ids PLUS the marker. 11 bits up to M=75; adaptive
+    # rebuilds (global merge) reach M=128 -> 12 bits, paying 2^(id_bits-23)
+    # relative D error (still an upper bound; consumers threshold or
+    # recompute D). 16 bits (M=607) is a hard stop: beyond that D's
+    # mantissa degrades past half precision — shrink cells instead.
+    id_bits = max(11, (C // 4 + 1).bit_length())
+    assert id_bits <= 16, "candidate row too wide even for 16-bit ids"
     if block == 0:
         # scoped VMEM is 16 MB and the kernel keeps ~5 (block, C) f32
         # temps live (rows, d2 terms, key, idx_contrib + double buffering):
@@ -297,7 +308,7 @@ def _select_topk(rows: jnp.ndarray, q4: jnp.ndarray, k: int,
         q4 = jnp.pad(q4, ((0, Qp - Q), (0, 0)))
     interpret = jax.devices()[0].platform == "cpu"
     out = pl.pallas_call(
-        functools.partial(_select_kernel, k=k),
+        functools.partial(_select_kernel, k=k, id_bits=id_bits),
         out_shape=jax.ShapeDtypeStruct((Qp, 2 * k_pad), jnp.float32),
         grid=(Qp // block,),
         in_specs=[
@@ -333,9 +344,10 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
         wins; kept for API parity).
 
     Returns:
-      D: (Q, k) squared distances, ascending, with the 11 low mantissa
-        bits set (<= 2^-12 relative, rounded up: an upper bound on the
-        exact distance, so D < r^2 never over-counts vs exact/faiss
+      D: (Q, k) squared distances, ascending, with the id_bits (>= 11,
+        grows with max_per_cell) low mantissa bits set (<= 2^(id_bits-23)
+        relative, rounded up: an upper bound on the exact distance, so
+        D < r^2 never over-counts vs exact/faiss
         distances — consumers either
         threshold D or recompute it exactly from gathered neighbor
         positions); empty slots hold 1e10.

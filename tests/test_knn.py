@@ -192,3 +192,32 @@ def test_build_adaptive_recovers_overflowed_points():
     # every point is reachable: query at each point finds itself
     D, I, nn = knn.query(g, pts, pts, 1, 0.02, T, g.cell_data.shape[1])
     assert bool(jnp.all(nn >= 1))
+
+
+def test_wide_row_selection_matches_brute_force():
+    """M=128 rows (the adaptive global-merge capacity that killed the r4
+    flagship run at frame 1999: 27*128*4 = 13824 lanes > the old 8188-lane
+    11-bit-id limit) must select correctly — the packed-key id width now
+    grows with the row. D keeps its upper-bound contract at the wider
+    mask (12 bits -> <= 2^-11 relative, rounded up)."""
+    rng = np.random.default_rng(21)
+    cell, M, T = 0.1, 128, 2 ** 10
+    # one dense cell cluster: 120 points inside a single cell (> M=64,
+    # <= the max_doublings=3 ceiling of 128)
+    pts = jnp.asarray(
+        rng.uniform(0.31, 0.39, (120, 3)).astype(np.float32))
+    valid = jnp.ones(len(pts), bool)
+    g = knn.build_adaptive(pts, valid, cell, T, 16)
+    assert g.cell_data.shape[1] >= 128  # wide-row regime reached
+    assert int(g.n_dropped) == 0
+
+    q = jnp.asarray(rng.uniform(0.30, 0.40, (37, 3)).astype(np.float32))
+    D, I, nn = knn.query(g, pts, q, 8, 0.05, T, g.cell_data.shape[1])
+    D_bf, I_bf = knn.brute_force_knn(pts, valid, q, 8)
+    # same neighbor sets (order may differ at exact ties)
+    assert (np.sort(np.asarray(I), 1) == np.sort(np.asarray(I_bf), 1)).all()
+    # D is an upper bound within 2^-11 relative of the exact distance
+    D, D_bf = np.asarray(D), np.asarray(D_bf)
+    assert (D >= D_bf - 1e-12).all()
+    np.testing.assert_allclose(D, D_bf, rtol=2 ** -10)
+    assert (np.asarray(nn) == (D_bf < 0.05 ** 2).sum(1)).all()

@@ -41,7 +41,9 @@ def test_map_shard_e2e(tmp_path):
 
     from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
     stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
-    assert stats["rmse"] < 0.05, stats
+    print("map_shard_e2e stats:", stats)
+    # ~3x measured (BASELINE.md e2e gate table), round-3 verdict weak #5
+    assert stats["rmse"] < 0.015, stats
 
     # snapshot gather agrees with the sharded buffers
     slam._sync_eval_state()
@@ -97,7 +99,8 @@ def test_map_shard_ba(tmp_path):
     assert result["n_points"] > 500
     from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
     stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
-    assert stats["rmse"] < 0.05, stats
+    print("map_shard_ba stats:", stats)
+    assert stats["rmse"] < 0.015, stats
 
 
 def test_map_shard_sample_near_pcl(tmp_path):
@@ -116,7 +119,8 @@ def test_map_shard_sample_near_pcl(tmp_path):
     assert result["n_points"] > 500
     from loopy_slam_tpu.tools.eval_ate import evaluate_trajectories
     stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
-    assert stats["rmse"] < 0.05, stats
+    print("map_shard_near_pcl stats:", stats)
+    assert stats["rmse"] < 0.015, stats
 
 
 def test_map_shard_segments_and_pgo_transform(tmp_path):

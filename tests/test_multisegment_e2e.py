@@ -41,9 +41,11 @@ def test_multisegment_run(tmp_path):
     # ORB baselines were computed at each boundary
     assert len(slam.lc.dbow_scores) == len(closed)
 
-    # trajectory remains sane through segment switches
+    # trajectory remains sane through segment switches; gate at ~3x the
+    # measured value (BASELINE.md e2e gate table) per round-3 verdict #5
     stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
-    assert stats["rmse"] < 0.08, stats
+    print("multisegment_e2e stats:", stats)
+    assert stats["rmse"] < 0.02, stats
 
     # the global merge produces a consistent cloud (duplicate averaging)
     import jax.numpy as jnp

@@ -30,10 +30,13 @@ def test_e2e_synthetic(tmp_path):
     est, gt = result["estimate_c2w"], result["gt_c2w"]
     assert est.shape == gt.shape == (9, 4, 4)
     stats = evaluate_trajectories(est, gt)
-    # synthetic room, tiny budget: a few cm of drift is acceptable; the
-    # metric run (bench) uses the full-size config
-    assert stats["rmse"] < 0.05, stats
-    assert stats["rmse_no_align"] < 0.10, stats
+    print("e2e_synthetic stats:", stats)
+    # gate at ~3x the measured value (r4 measured: rmse 0.0084 /
+    # no-align 0.0134 on this 9-frame tiny-budget scene; BASELINE.md e2e
+    # gate table) so a deliberate regression fails CI instead of a
+    # 10-hour flagship run (round-3 verdict weak #5: 5 cm was ~6x)
+    assert stats["rmse"] < 0.025, stats
+    assert stats["rmse_no_align"] < 0.04, stats
 
     # outputs written
     import os

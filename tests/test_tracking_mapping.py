@@ -189,3 +189,61 @@ def test_tracking_health_gate_rejects_divergent_frame(cfg):
     best4, _c, _f, _b, _ef, _em, _h = track(
         depth, tiny, topts._replace(health_gate=0.0))
     assert np.abs(np.asarray(best4) - pert).max() > 1e-5
+
+
+def test_health_gate_contains_alias_slide(cfg):
+    """Regression pin for the room0_r3d divergence signature (BASELINE.md
+    §quality-at-scale): the observed image stops matching the map near the
+    pose hypothesis (a photometric alias / wrong-content event), per-frame
+    loss jumps well past the healthy EMA while the motion model reports
+    tiny motion. The gate must keep the motion-model pose, freeze the EMA,
+    and accept the next healthy frame again (no latch-up).
+
+    The event is synthesized as a photometrically-inconsistent observation
+    (inverted color at the true depth): on this tiny globally-mapped scene
+    a frame from a genuinely far viewpoint RE-CONVERGES within its 20-iter
+    budget (measured ~2x EMA, correctly accepted) — only content that
+    matches the map at NO nearby pose reproduces r3d's loss blow-up. The
+    map needs the 500-iter fit: at 150 iters the healthy EMA is ~0.33
+    (model error floor) and no corruption can clear 5x of it."""
+    cfg = small_cfg()
+    ds, state, params, mopts, ropts, (color, depth, c2w), _ = \
+        build_mapped_scene(cfg, n_iters=500)
+    topts = tracker_mod.TrackOptions.from_cfg(cfg)._replace(
+        pixels=300, iters=20, health_gate=5.0,
+        H=cfg["cam"]["H"], W=cfg["cam"]["W"],
+        fx=cfg["cam"]["fx"], fy=cfg["cam"]["fy"],
+        cx=cfg["cam"]["cx"], cy=cfg["cam"]["cy"])
+    ropts_t = RenderOptions.from_cfg(
+        cfg, sigmoid_coef=cfg["rendering"]["sigmoid_coef_tracker"])
+    gt7 = tensor_from_c2w(c2w)
+
+    def track(col_in, dep_in, health, seed):
+        return tracker_mod.track_frame(
+            params, state.pos, state.grid, state.feat,
+            col_in, dep_in, jnp.asarray(gt7), jax.random.PRNGKey(seed),
+            topts, ropts_t, health=health)
+
+    # seed the EMA with two healthy frames
+    health = jnp.zeros((2,))
+    for seed in (3, 4):
+        _b, _c, _f, _bl, _ef, _em, health = track(color, depth, health, seed)
+    h0 = np.asarray(health)
+    assert h0[1] == 0 and h0[0] > 0
+
+    # alias event: the observed image matches the map at no pose near the
+    # hypothesis — rendering residuals blow up like r3d's frames 1806-1820
+    # (measured here: ~5.5x the EMA; r3d: ~10x)
+    best, _c, _f, _bl, _ef, _em, health = track(
+        1.0 - color, depth, health, 11)
+    h1 = np.asarray(health)
+    assert h1[1] == 1, h1                      # rejected
+    np.testing.assert_allclose(np.asarray(best), gt7, atol=1e-7)  # pose kept
+    np.testing.assert_allclose(h1[0], h0[0], rtol=1e-6)  # EMA frozen
+
+    # recovery: the next healthy frame is accepted again — the rejected
+    # frame did not widen or poison the gate
+    best2, _c, _f, _bl, _ef, _em, health = track(color, depth, health, 12)
+    h2 = np.asarray(health)
+    assert h2[1] == 1, h2                      # no new rejection
+    assert np.abs(np.asarray(best2) - gt7).max() > 1e-7  # pose moved again
