@@ -43,6 +43,16 @@ def _enable_persistent_compile_cache():
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Persist EVERY compiled program, not just those that took >= 1 s
+        # to compile: on the remote-compile TPU backend a SLAM session
+        # dispatches ~100+ small eager helper ops (broadcasts, RNG splits,
+        # dtype converts) at ~0.4-0.7 s of remote compile EACH, and JAX's
+        # default min_compile_time_secs=1.0 refuses to cache any of them —
+        # measured ~60 s of unavoidable per-run compile tax (round-4 probe:
+        # 114 sub-threshold misses in a 6-frame bench run).
+        if os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS") is None:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0)
     except (OSError, ImportError):  # read-only install dir etc.
         pass
 
