@@ -155,14 +155,11 @@ DEFAULTS: Dict[str, Any] = {
         # query to ~1/8 of an exact iteration.
         "pixel_pool_factor": 8,
         "device_chunk_iters": 64,
-        # ray-coherent neighbor dedup: collapse each pool ray's S*k
-        # neighbor entries to <= pool_unique unique map rows, gathered
-        # once and re-expanded in-register (one-hot MXU matmul) — the
-        # hot-iteration HBM gather + backward scatter-add shrink by
-        # ~E/U. 0 disables. Parity pinned by tests/test_pool_unique.py;
-        # the default stays off until the on-TPU A/B (BASELINE.md) shows
-        # it accuracy-neutral at a measurable win.
-        "pool_unique": 0,
+        # (removed lever, negative result — BASELINE.md "round-4 A/B":
+        # ray-coherent neighbor dedup (pool_unique) shrank the hot gather
+        # 2.5x but bought only ~3% map time — the gather is not the
+        # bottleneck at this batch size — while its U-nearest truncation
+        # cost 1.5x bench ATE. Deleted like the fused-MLP kernel was.)
         "init": {
             "geometry": {"decoders_lr": 0.001, "geometry_lr": 0.03, "color_lr": 0.0},
             "color": {"decoders_lr": 0.005, "geometry_lr": 0.005, "color_lr": 0.005},

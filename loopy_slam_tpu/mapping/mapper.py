@@ -50,7 +50,6 @@ class MapperOptions(NamedTuple):
     cy: float = 339.5
     pixel_pool_factor: int = 8
     pool_color_stage: bool = True
-    pool_unique: int = 0
 
     @staticmethod
     def from_cfg(cfg):
@@ -66,7 +65,6 @@ class MapperOptions(NamedTuple):
             fx=cam["fx"], fy=cam["fy"], cx=cam["cx"] - e, cy=cam["cy"] - e,
             pixel_pool_factor=int(m.get("pixel_pool_factor", 8)),
             pool_color_stage=bool(m.get("pool_color_stage", True)),
-            pool_unique=int(m.get("pool_unique", 0)),
         )
 
 
@@ -287,65 +285,6 @@ class _NeighborPool(NamedTuple):
     D: jnp.ndarray       # (F, P, S*k) index-structure squared distances
     I: jnp.ndarray       # (F, P, S*k) int32 neighbor ids
     nn: jnp.ndarray      # (F, P, S) int32 in-radius neighbor counts
-    # ray-coherent neighbor dedup (opts.pool_unique > 0): a ray's S
-    # samples sit in a band a few cm wide, so its S*k neighbor ids
-    # collapse to far fewer UNIQUE map rows. The hot-iteration HBM gather
-    # (and its backward scatter-add — the single largest fixed cost of a
-    # mapping iteration, renderer.gather_featpos) then runs over U unique
-    # rows per ray instead of S*k, with a VMEM-local expansion back to the
-    # (S*k) layout. Exact: dropped entries are ones the decode already
-    # zero-weighted, except rays with > U distinct in-radius neighbors,
-    # which keep their U nearest (sorted-by-D dedup).
-    uids: Optional[jnp.ndarray] = None     # (F, P, U) int32 unique ids
-    pos_map: Optional[jnp.ndarray] = None  # (F, P, S*k) int32 -> [0, U)
-
-
-def _dedup_ray_neighbors(I_e: jnp.ndarray, D_e: jnp.ndarray, U: int):
-    """Per-ray neighbor dedup: collapse each ray's E = S*k (id, D) entries
-    to <= U unique ids, nearest-first.
-
-    Returns (uids (R, U), pos_map (R, E) in [0, U), D_new (R, E)) such that
-    gathering rows by uids and re-expanding via pos_map reproduces the
-    original per-entry rows wherever D_new < 1e9. Entries beyond U distinct
-    ids get D_new = 1e10 (the decode's invalid marker -> zero weight);
-    sorting by D first means only a ray's FARTHEST uniques can be dropped.
-    O(E^2) per ray, run once per pool refresh (not on the hot path).
-    """
-    R, E = I_e.shape
-    valid = D_e < 1e9
-    order = jnp.argsort(jnp.where(valid, D_e, jnp.inf), axis=1)
-    ids_s = jnp.take_along_axis(I_e, order, axis=1)
-    val_s = jnp.take_along_axis(valid, order, axis=1)
-    D_s = jnp.take_along_axis(D_e, order, axis=1)
-    eq = ((ids_s[:, :, None] == ids_s[:, None, :])
-          & val_s[:, :, None] & val_s[:, None, :])          # (R, E, E)
-    tri = jnp.tril(jnp.ones((E, E), bool))
-    first = jnp.argmax(eq & tri, axis=2)                     # (R, E)
-    is_first = (first == jnp.arange(E)) & val_s
-    cum = jnp.cumsum(is_first.astype(jnp.int32), axis=1) - 1  # slot if first
-    uslot = jnp.take_along_axis(cum, first, axis=1)          # slot via first
-    keep = val_s & (uslot < U)
-    col = jnp.where(is_first & (cum < U), cum, U)            # U -> dropped
-    uids = jnp.zeros((R, U), jnp.int32).at[
-        jnp.arange(R)[:, None], col].set(ids_s, mode="drop")
-    D_new_s = jnp.where(keep, D_s, 1e10)
-    inv = jnp.argsort(order, axis=1)
-    pos_map = jnp.take_along_axis(jnp.where(keep, uslot, 0), inv, axis=1)
-    D_new = jnp.take_along_axis(D_new_s, inv, axis=1)
-    return uids, pos_map.astype(jnp.int32), D_new
-
-
-def _expand_unique(both_u: jnp.ndarray, pos_map: jnp.ndarray) -> jnp.ndarray:
-    """(R, U, C) unique rows + (R, E) slot map -> (R, E, C) per-entry rows.
-
-    One-hot batched matmul: E x U times U x C per ray rides the MXU and
-    its transpose (the backward pass) pre-reduces duplicate entries'
-    gradients IN REGISTER before gather_featpos's global scatter-add sees
-    them — the whole point of the dedup."""
-    U = both_u.shape[1]
-    onehot = (pos_map[..., None] == jnp.arange(U, dtype=pos_map.dtype)
-              ).astype(both_u.dtype)                          # (R, E, U)
-    return jnp.einsum("reu,ruc->rec", onehot, both_u)
 
 
 def _build_pool(map_pos, grid, kf_color, kf_depth, kf_c2w, kf_rq, key,
@@ -411,30 +350,8 @@ def _build_pool(map_pos, grid, kf_color, kf_depth, kf_c2w, kf_rq, key,
     I = I.reshape(-1, k)[:N].reshape(F, P, S * k)
     nn = nn.reshape(-1)[:N].reshape(F, P, S)
 
-    uids = pos_map = None
-    if opts.pool_unique > 0:
-        U, E = opts.pool_unique, S * k
-        R_tot = F * P
-        # chunked: the dedup's (chunk, E, E) pairwise-id intermediate at
-        # the full pool size would materialize hundreds of MB
-        dchunk = 8192
-        n_dc = -(-R_tot // dchunk)
-        pad_r = n_dc * dchunk - R_tot
-        I_f = I.reshape(R_tot, E)
-        D_f = D.reshape(R_tot, E)
-        if pad_r:
-            I_f = jnp.pad(I_f, ((0, pad_r), (0, 0)))
-            D_f = jnp.pad(D_f, ((0, pad_r), (0, 0)),
-                          constant_values=1e10)
-        uids, pos_map, D_f = jax.lax.map(
-            lambda a: _dedup_ray_neighbors(a[0], a[1], U),
-            (I_f.reshape(n_dc, dchunk, E), D_f.reshape(n_dc, dchunk, E)))
-        uids = uids.reshape(-1, U)[:R_tot].reshape(F, P, U)
-        pos_map = pos_map.reshape(-1, E)[:R_tot].reshape(F, P, E)
-        D = D_f.reshape(-1, E)[:R_tot].reshape(F, P, E)
-        I = jnp.zeros((F, P, 0), jnp.int32)  # replaced by uids + pos_map
     return _NeighborPool(pts=pts, z_vals=z, d=d, c=c, valid=valid, rd=rd,
-                         rq=rq, D=D, I=I, nn=nn, uids=uids, pos_map=pos_map)
+                         rq=rq, D=D, I=I, nn=nn)
 
 
 def _map_loss_pool(trainable, pool: _NeighborPool, map_pos, key, stage,
@@ -474,14 +391,7 @@ def _map_loss_pool(trainable, pool: _NeighborPool, map_pos, key, stage,
     mx = masked_max(d, valid, fill=0.0)
     inside = valid & (d <= jnp.minimum(10.0 * med, 1.2 * mx))
 
-    if pool.uids is not None:
-        # dedup path: gather each ray's U unique rows, expand in register
-        both_u = gather_featpos(feats, jax.lax.stop_gradient(map_pos),
-                                take(pool.uids))
-        both = _expand_unique(both_u, take(pool.pos_map)).reshape(
-            -1, k, both_u.shape[-1])
-    else:
-        both = gather_featpos(feats, jax.lax.stop_gradient(map_pos), I)
+    both = gather_featpos(feats, jax.lax.stop_gradient(map_pos), I)
     exposure_feat = None  # exposure is deferred to the affine below
     occ, rgb, has_neighbors = decode_neighbors(
         params, pts, kr, ropts, stage, D_idx, both, nn, rq,
