@@ -1433,6 +1433,31 @@ class LoopySLAM:
                 "n_points": int(self.map_state.count),
             }
         progress = os.environ.get("LOOPY_PROGRESS")
+        # Background frame prefetch: PNG/EXR decode costs ~0.2 s/frame at
+        # full resolution (~400 s over a 2000-frame run), all of it host
+        # CPU work that overlaps cleanly with device compute (PIL/numpy
+        # release the GIL; so do device waits). A bounded lookahead keeps
+        # at most 2 decoded frames in flight. The reference's separate
+        # dataloader process serves the same purpose (SURVEY §2.1 #13).
+        import queue as _queue
+        import threading as _threading
+        frames_q: _queue.Queue = _queue.Queue(maxsize=2)
+        stop_evt = _threading.Event()
+
+        def _producer():
+            for i in range(start_idx, self.n_img):
+                item = self.dataset[i]
+                while not stop_evt.is_set():
+                    try:
+                        frames_q.put((i, item), timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop_evt.is_set():
+                    return
+
+        prefetch_t = _threading.Thread(target=_producer, daemon=True)
+        prefetch_t.start()
         for idx in range(start_idx, self.n_img):
             if progress:
                 import sys
@@ -1445,7 +1470,8 @@ class LoopySLAM:
                       f"segs={len(self.fm.fragments)}]",
                       file=sys.stderr, flush=True)
             t_f = time.perf_counter()
-            _, color_np, depth_np, gt_c2w = self.dataset[idx]
+            pf_idx, (_, color_np, depth_np, gt_c2w) = frames_q.get()
+            assert pf_idx == idx, (pf_idx, idx)  # strictly sequential
             self.timings.setdefault("data", []).append(
                 time.perf_counter() - t_f)
             t_f = time.perf_counter()
@@ -1511,6 +1537,7 @@ class LoopySLAM:
             if stop and idx != 0 and idx % stop == 0:
                 break
 
+        stop_evt.set()
         self.finalize(idx)
         if self.verbose:
             # per-phase timing report (reference prints registration/PGO

@@ -377,13 +377,18 @@ class Synthetic(BaseDataset):
         return color, depth
 
     def __getitem__(self, index: int):
-        if index not in self._cache:
+        # thread-safe vs the run-loop prefetcher: read/insert via local
+        # references only (never check-then-index the shared dict — a
+        # concurrent clear() between the two would raise); worst case a
+        # frame renders twice
+        item = self._cache.get(index)
+        if item is None:
             c2w = self.poses[index]
-            color, depth = self.render_frame(c2w)
+            item = self.render_frame(c2w)
             if len(self._cache) > 8:
                 self._cache.clear()
-            self._cache[index] = (color, depth)
-        color, depth = self._cache[index]
+            self._cache[index] = item
+        color, depth = item
         return index, color, depth, self.poses[index].astype(np.float32)
 
     def gt_mesh(self, divisions: int = 60):
