@@ -108,7 +108,15 @@ DEFAULTS: Dict[str, Any] = {
         # texture aliases) where the optimizer converges to a wrong but
         # photometrically stable pose; the EMA freezes on rejected frames
         # so runaway loss cannot widen its own gate. 0 disables.
-        "health_gate_factor": 5.0,
+        "health_gate_factor": 4.0,
+        # EMA freeze threshold: frames above health_ema_freeze x EMA are
+        # still ACCEPTED (pose moves) but do not update the EMA, so a
+        # gradual loss creep cannot drag the reject threshold up with it
+        # (r4 flagship replay: healthy frames < 1.35x, a real slide
+        # 1.7-4x; at the old follow-everything EMA the 36 cm slide drew
+        # ZERO rejects). 4.0/1.5 first-rejects the replayed slide at
+        # frame 1840 with 0 false positives over 1790 healthy frames.
+        "health_ema_freeze": 1.5,
     },
     "mapping": {
         "filter_before_add_points": True,

@@ -54,6 +54,7 @@ class TrackOptions(NamedTuple):
     knn_refresh: int = 10
     pool_factor: int = 4
     health_gate: float = 0.0
+    health_freeze: float = 1.5
 
     @staticmethod
     def from_cfg(cfg):
@@ -73,6 +74,7 @@ class TrackOptions(NamedTuple):
             knn_refresh=int(t.get("knn_refresh", 10)),
             pool_factor=max(1, int(t.get("pool_factor", 4))),
             health_gate=float(t.get("health_gate_factor", 0.0)),
+            health_freeze=float(t.get("health_ema_freeze", 1.5)),
         )
 
 
@@ -431,9 +433,22 @@ def _track_frame_impl(params, map_pos, grid, feats,
         bad_support = best_nm < 0.05 * total_px
         unhealthy = (opts.health_gate > 0) & (bad_loss | bad_support)
         out_cam = jnp.where(unhealthy, cam7_init, best_cam)
+        # creep immunity (round-4 flagship replay, BASELINE.md): a gradual
+        # tracking slide raises the loss ~1.7x per few frames — slowly
+        # enough that an EMA updated on every accepted frame follows it up
+        # and the reject threshold never fires (the r4 v2 run drifted
+        # 36 cm at 0 rejects). The EMA therefore only updates on frames
+        # within health_freeze x of itself (healthy frames sit < 1.35x on
+        # the 2000-frame replay; the slide sits 1.7-4x), so sustained
+        # elevation is measured against a pinned healthy level instead of
+        # chasing it. The pose is still only rejected at health_gate x.
+        healthy_update = mean_best <= opts.health_freeze * ema
         ema_new = jnp.where(
             unhealthy, ema,
-            jnp.where(ema > 0, 0.95 * ema + 0.05 * mean_best, mean_best))
+            jnp.where(ema > 0,
+                      jnp.where(healthy_update,
+                                0.95 * ema + 0.05 * mean_best, ema),
+                      mean_best))
         health_out = jnp.stack([ema_new,
                                 nrej + unhealthy.astype(jnp.float32)])
     # the 4x4 pose is produced in-program: converting on the host would

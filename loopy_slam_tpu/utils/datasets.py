@@ -258,6 +258,45 @@ class Synthetic(BaseDataset):
         [1.00, 0.70, 0.88],
     ])
 
+    # Scene v3 (data.scene: "v3"): the r4 v2 flagship run still slid
+    # 36 cm in its final 200 frames — views at t in [0.8, 1.0] of the
+    # orbit face the +z wall with only 3-6% object pixels (the v2
+    # furniture sits outside that view cone), leaving near-planar
+    # geometry whose only anti-alias signal was the weak 0.125-amplitude
+    # ramp (BASELINE.md round-4 post-mortem). v3 mounts structure on all
+    # four walls AT CAMERA HEIGHT (y in [-0.3, 0.9]) plus mid-room
+    # columns/beams so every orbit view cone contains real depth
+    # variation, and strengthens the unique texture components. All
+    # additions keep >= 0.5 m clearance of the camera-path envelope.
+    _BOXES_V3 = np.array([
+        [-1.70, -0.10, 1.70, -0.65, 0.45, 2.00],   # +z wall shelf (mid)
+        [0.65, 0.15, 1.72, 1.55, 0.85, 2.00],      # +z wall cabinet (up)
+        [-1.90, -1.30, -2.00, -1.10, -0.30, -1.72],  # -z wall low unit
+        [1.72, 0.10, -0.40, 2.00, 0.80, 0.75],     # +x wall mid unit
+        [-2.00, -0.25, -1.30, -1.70, 0.55, -0.25],  # -x wall mid unit
+        [-2.00, 1.25, 0.55, 2.00, 1.50, 0.85],     # ceiling beam
+        [-1.45, -1.50, 0.10, -1.15, 0.60, 0.40],   # floor-to-mid column
+        [1.35, -1.50, 1.30, 1.95, -0.40, 1.90],    # +z corner sideboard
+    ])
+    _SPHERES_V3 = np.array([
+        [0.00, 0.25, 1.58, 0.30],     # centered on the +z problem wall
+        [-1.55, -0.15, 0.95, 0.28],
+        [1.60, 0.95, -1.35, 0.30],
+    ])
+    _TINTS_V3 = np.array([
+        [0.95, 0.80, 0.55],
+        [0.55, 0.85, 0.95],
+        [0.90, 0.60, 0.90],
+        [0.60, 0.95, 0.60],
+        [0.95, 0.65, 0.65],
+        [0.75, 0.75, 0.95],
+        [0.95, 0.90, 0.55],
+        [0.65, 0.90, 0.85],
+        [0.85, 0.95, 0.60],
+        [0.95, 0.75, 0.85],
+        [0.60, 0.80, 0.95],
+    ])
+
     def __init__(self, cfg, input_folder=None):
         super().__init__(cfg, input_folder)
         data = cfg["data"]
@@ -265,6 +304,20 @@ class Synthetic(BaseDataset):
         self.motion_speed = float(data.get("motion_speed", 0.004))
         self.box_lo = np.array(data.get("box_lo", [-2.0, -1.5, -2.0]))
         self.box_hi = np.array(data.get("box_hi", [2.0, 1.5, 2.0]))
+        self.scene = str(data.get("scene", "v2"))
+        if self.scene == "v3":
+            self._BOXES = np.concatenate(
+                [Synthetic._BOXES, Synthetic._BOXES_V3])
+            self._SPHERES = np.concatenate(
+                [Synthetic._SPHERES, Synthetic._SPHERES_V3])
+            # tint order: walls, boxes (v2 then v3), spheres (v2 then v3)
+            t = Synthetic._TINTS
+            t3 = Synthetic._TINTS_V3
+            nb, ns = len(Synthetic._BOXES), len(Synthetic._SPHERES)
+            self._TINTS = np.concatenate([
+                t[:1 + nb], t3[:len(Synthetic._BOXES_V3)],
+                t[1 + nb:1 + nb + ns],
+                t3[len(Synthetic._BOXES_V3):]])
         self.poses = [self._pose(i) for i in range(self.n_img)]
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -290,8 +343,7 @@ class Synthetic(BaseDataset):
         c2w[:3, 3] = [cx, cy, cz]
         return c2w
 
-    @staticmethod
-    def _texture(p: np.ndarray, obj_id: Optional[np.ndarray] = None
+    def _texture(self, p: np.ndarray, obj_id: Optional[np.ndarray] = None
                  ) -> np.ndarray:
         x, y, z = p[..., 0], p[..., 1], p[..., 2]
         r = 0.5 + 0.5 * np.sin(3.1 * x + 1.7 * z)
@@ -312,9 +364,27 @@ class Synthetic(BaseDataset):
         ramp = np.stack([0.125 * (x + 2.0) / 4.0 - 0.0625,
                          0.125 * (y + 1.5) / 3.0 - 0.0625,
                          0.125 * (z + 2.0) / 4.0 - 0.0625], axis=-1)
-        out = 0.60 * rgb + 0.25 * ch[..., None] + 0.075 + ramp
+        if getattr(self, "scene", "v2") == "v3":
+            # v3: a mid-frequency position-unique component (three
+            # incommensurate vector sinusoids, periods 1.0-1.5 m) at an
+            # amplitude that makes a ~0.4 m tangential slide clearly
+            # costly even on a bare wall, plus a stronger global ramp.
+            # The v2 composite was TOO weak there: the two lattices agree
+            # 70/30 on a one-cell slide and the 0.125 ramp moves only
+            # ~0.012 color over 0.4 m (r4 flagship post-mortem).
+            mid = 0.10 * np.stack([
+                np.sin(5.3 * x + 2.1 * z + 0.7 * y),
+                np.sin(4.1 * y + 2.7 * x + 1.9 * z + 1.0),
+                np.sin(6.1 * z + 1.3 * y + 3.3 * x + 2.0)], axis=-1)
+            ramp3 = np.stack([0.22 * (x + 2.0) / 4.0 - 0.11,
+                              0.22 * (y + 1.5) / 3.0 - 0.11,
+                              0.22 * (z + 2.0) / 4.0 - 0.11], axis=-1)
+            out = (0.45 * rgb + 0.22 * ch[..., None] + mid + 0.10
+                   + ramp3)
+        else:
+            out = 0.60 * rgb + 0.25 * ch[..., None] + 0.075 + ramp
         if obj_id is not None:
-            out = out * Synthetic._TINTS[obj_id]
+            out = out * self._TINTS[obj_id]
         # clip INSIDE (0,1): targets at exactly 0/1 demand infinite
         # pre-sigmoid logits from the color head, and with an L1 loss that
         # drives the sigmoid into gradient-dead saturation (a seed-

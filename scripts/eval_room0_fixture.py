@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--output", default="output/Replica/room0")
     ap.add_argument("--every", type=int, default=5)
     ap.add_argument("--n-2d-views", type=int, default=100)
+    ap.add_argument("--scene", default="v2", choices=["v2", "v3"],
+                    help="scene version the fixture was generated with")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +51,7 @@ def main():
     cfg = copy.deepcopy(DEFAULTS)
     update_recursive(cfg, {"dataset": "synthetic",
                            "cam": dict(REPLICA_CAM),
-                           "data": {"n_frames": 4}})
+                           "data": {"n_frames": 4, "scene": args.scene}})
     ds = Synthetic(cfg)
     gv, gf = ds.gt_mesh()
 

@@ -39,12 +39,14 @@ REPLICA_CAM = {"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0,
                "crop_edge": 0}
 
 
-def make_dataset(n_frames: int, motion_speed: float) -> Synthetic:
+def make_dataset(n_frames: int, motion_speed: float,
+                 scene: str = "v2") -> Synthetic:
     cfg = copy.deepcopy(DEFAULTS)
     update_recursive(cfg, {
         "dataset": "synthetic",
         "cam": dict(REPLICA_CAM),
-        "data": {"n_frames": n_frames, "motion_speed": motion_speed},
+        "data": {"n_frames": n_frames, "motion_speed": motion_speed,
+                 "scene": scene},
     })
     return Synthetic(cfg)
 
@@ -57,9 +59,11 @@ def main():
                     help="orbit parameter step per frame; 1/1000 gives two "
                          "full orbits (guaranteed revisits) over 2000 frames")
     ap.add_argument("--jpeg-quality", type=int, default=92)
+    ap.add_argument("--scene", default="v2", choices=["v2", "v3"],
+                    help="procedural scene version (datasets.py Synthetic)")
     args = ap.parse_args()
 
-    ds = make_dataset(args.frames, args.motion_speed)
+    ds = make_dataset(args.frames, args.motion_speed, args.scene)
     res = os.path.join(args.out, "results")
     os.makedirs(res, exist_ok=True)
 

@@ -190,6 +190,22 @@ def test_tracking_health_gate_rejects_divergent_frame(cfg):
         depth, tiny, topts._replace(health_gate=0.0))
     assert np.abs(np.asarray(best4) - pert).max() > 1e-5
 
+    # creep immunity (r4): a frame whose per-pixel loss sits BETWEEN the
+    # freeze threshold (1.5x) and the reject threshold (4x) is accepted —
+    # the pose moves — but must NOT update the EMA: a gradual slide that
+    # raises the loss a little every frame would otherwise drag the
+    # reject threshold up with it and never fire (the r4 v2 flagship
+    # drifted 36 cm at 0 rejects this way, BASELINE.md)
+    healthy_mean = float(health1_np[0])
+    mid = jnp.asarray([healthy_mean / 2.0, 0.0])  # frame lands at ~2x ema
+    best5, _c, _f, _b, _ef, _em, health5 = track(
+        depth, mid, topts._replace(health_gate=4.0, health_freeze=1.5))
+    health5_np = np.asarray(health5)
+    assert health5_np[1] == 0, health5_np              # accepted
+    assert np.abs(np.asarray(best5) - pert).max() > 1e-5   # pose moved
+    np.testing.assert_allclose(health5_np[0], healthy_mean / 2.0,
+                               rtol=1e-6)              # EMA frozen
+
 
 def test_health_gate_contains_alias_slide(cfg):
     """Regression pin for the room0_r3d divergence signature (BASELINE.md
