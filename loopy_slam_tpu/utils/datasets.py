@@ -318,6 +318,17 @@ class Synthetic(BaseDataset):
                 t[:1 + nb], t3[:len(Synthetic._BOXES_V3)],
                 t[1 + nb:1 + nb + ns],
                 t3[len(Synthetic._BOXES_V3):]])
+        # float32 instance copies for the render hot path: the procedural
+        # render is memory-bandwidth bound on this host (816k rays x ~18
+        # primitives of large-array numpy ops); f64 -> f32 halves the
+        # traffic (~2x wall) and its ~1e-7 relative drift is far below
+        # the fixture formats' own quantization (uint16 depth quantum
+        # 1.5e-4 m, JPEG q92 color)
+        self._BOXES = np.asarray(self._BOXES, np.float32)
+        self._SPHERES = np.asarray(self._SPHERES, np.float32)
+        self._TINTS = np.asarray(self._TINTS, np.float32)
+        self.box_lo = self.box_lo.astype(np.float32)
+        self.box_hi = self.box_hi.astype(np.float32)
         self.poses = [self._pose(i) for i in range(self.n_img)]
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -414,10 +425,12 @@ class Synthetic(BaseDataset):
             hit = (tnear > 1e-6) & (tnear <= tfar) & (tnear < t_hit)
             t_hit = np.where(hit, tnear, t_hit)
             obj_id = np.where(hit, k + 1, obj_id)
+        a = None
         for k, row in enumerate(self._SPHERES):
             c, rad = row[:3], row[3]
             oc = rays_o - c
-            a = np.sum(rays_d * rays_d, axis=-1)
+            if a is None:  # loop-invariant
+                a = np.sum(rays_d * rays_d, axis=-1)
             bq = 2.0 * np.sum(rays_d * oc, axis=-1)
             disc = bq * bq - 4.0 * a * (np.dot(oc, oc) - rad * rad)
             ok = disc > 0
@@ -430,13 +443,13 @@ class Synthetic(BaseDataset):
 
     def render_frame(self, c2w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         H, W = self.H, self.W
-        j, i = np.meshgrid(np.arange(H, dtype=np.float64),
-                           np.arange(W, dtype=np.float64), indexing="ij")
-        dirs = np.stack([(i - self.cx) / self.fx,
-                         -(j - self.cy) / self.fy,
+        j, i = np.meshgrid(np.arange(H, dtype=np.float32),
+                           np.arange(W, dtype=np.float32), indexing="ij")
+        dirs = np.stack([(i - np.float32(self.cx)) / np.float32(self.fx),
+                         -(j - np.float32(self.cy)) / np.float32(self.fy),
                          -np.ones_like(i)], axis=-1)
-        rays_d = dirs @ c2w[:3, :3].T
-        rays_o = c2w[:3, 3]
+        rays_d = dirs @ c2w[:3, :3].T.astype(np.float32)
+        rays_o = c2w[:3, 3].astype(np.float32)
         t_hit, obj_id = self._ray_scene(rays_o, rays_d)
         hit = rays_o + rays_d * t_hit[..., None]
         color = self._texture(hit, obj_id).astype(np.float32)
