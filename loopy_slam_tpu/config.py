@@ -117,6 +117,14 @@ DEFAULTS: Dict[str, Any] = {
         # ZERO rejects). 4.0/1.5 first-rejects the replayed slide at
         # frame 1840 with 0 false positives over 1790 healthy frames.
         "health_ema_freeze": 1.5,
+        # reject-streak escape hatch: after this many CONSECUTIVE
+        # loss-rejects with healthy ray support, accept the optimized
+        # pose and re-seed the EMA at the current frame's loss level — a
+        # legitimate sustained loss shift (poorly-mapped area, exposure
+        # change) must not pin tracking to the motion model forever
+        # against a stale frozen baseline. Support-collapse rejects
+        # never escape. 0 disables the hatch.
+        "health_reject_streak": 10,
     },
     "mapping": {
         "filter_before_add_points": True,
@@ -283,4 +291,23 @@ def load_config(path: str, default_path: Optional[str] = None) -> Dict[str, Any]
     for node in reversed(chain):
         update_recursive(cfg, node)
     cfg.pop("inherit_from", None)
+    _reject_removed_keys(cfg)
     return cfg
+
+
+# knobs that existed in an earlier round and were removed after a losing
+# A/B (BASELINE.md records each) — a stale YAML still setting one must
+# fail loudly, not be silently ignored
+_REMOVED_KEYS = {
+    ("mapping", "pool_unique"):
+        "removed in round 4 (ray-coherent neighbor dedup lost the on-TPU "
+        "A/B: ~3% speed for 1.5x ATE, BASELINE.md round-4 bench)",
+}
+
+
+def _reject_removed_keys(cfg: Dict[str, Any]) -> None:
+    for (group, key), why in _REMOVED_KEYS.items():
+        if isinstance(cfg.get(group), dict) and key in cfg[group]:
+            raise ValueError(
+                f"config key {group}.{key} was removed: {why}. "
+                f"Delete it from the YAML.")

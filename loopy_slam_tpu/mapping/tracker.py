@@ -55,6 +55,7 @@ class TrackOptions(NamedTuple):
     pool_factor: int = 4
     health_gate: float = 0.0
     health_freeze: float = 1.5
+    health_streak: int = 10
 
     @staticmethod
     def from_cfg(cfg):
@@ -75,6 +76,7 @@ class TrackOptions(NamedTuple):
             pool_factor=max(1, int(t.get("pool_factor", 4))),
             health_gate=float(t.get("health_gate_factor", 0.0)),
             health_freeze=float(t.get("health_ema_freeze", 1.5)),
+            health_streak=int(t.get("health_reject_streak", 10)),
         )
 
 
@@ -278,6 +280,57 @@ def tracking_loss_cached(opt_vars, params, cache, key, opts: TrackOptions,
     return loss, (geo, col, jnp.sum(mask))
 
 
+def _apply_health_gate(health, best_loss, best_nm, cam7_init, best_cam,
+                       opts: "TrackOptions", total_px=None):
+    """Tracking health gate: decide whether to accept the optimized pose
+    and update the gate state. Returns (out_cam7, health').
+
+    health is [loss EMA, total rejects, consecutive-reject streak]
+    (a legacy (2,) vector is padded with streak=0). Two failure
+    signatures reject a frame (keep the motion-model pose cam7_init):
+    (a) per-masked-pixel loss above health_gate x the healthy EMA — the
+    optimizer converged somewhere photometrically wrong; (b) mask-support
+    collapse (under 5% of rays survive the gates) — the "optimum" is
+    unconstrained noise. The EMA only updates on frames within
+    health_freeze x of itself (creep immunity, BASELINE.md r4 replay).
+
+    Reject-streak escape hatch: a frozen EMA has no upward path, so a
+    legitimate sustained loss shift (entering a poorly-mapped area, an
+    exposure change) could otherwise pin every subsequent pose to the
+    motion model forever against a stale baseline. After health_streak
+    consecutive loss-rejects with healthy ray support, accept the
+    optimized pose and re-seed the EMA at this frame's level.
+    Support-collapse rejects never escape."""
+    if health.shape[0] == 2:  # pre-streak checkpoints / callers
+        health = jnp.concatenate([health, jnp.zeros((1,))])
+    ema, nrej, streak = health[0], health[1], health[2]
+    best_nm = best_nm.astype(jnp.float32)
+    mean_best = best_loss / jnp.maximum(best_nm, 1.0)
+    if total_px is None:
+        total_px = jnp.float32(opts.pixels)
+    bad_loss = (ema > 0) & (mean_best > opts.health_gate * ema)
+    bad_support = best_nm < 0.05 * total_px
+    unhealthy = (opts.health_gate > 0) & (bad_loss | bad_support)
+    escape = (opts.health_streak > 0) & unhealthy & ~bad_support \
+        & (streak >= opts.health_streak - 1)
+    unhealthy = unhealthy & ~escape
+    out_cam = jnp.where(unhealthy, cam7_init, best_cam)
+    healthy_update = mean_best <= opts.health_freeze * ema
+    ema_new = jnp.where(
+        unhealthy, ema,
+        jnp.where(escape, mean_best,
+                  jnp.where(ema > 0,
+                            jnp.where(healthy_update,
+                                      0.95 * ema + 0.05 * mean_best,
+                                      ema),
+                            mean_best)))
+    streak_new = jnp.where(unhealthy, streak + 1.0, 0.0)
+    health_out = jnp.stack([ema_new,
+                            nrej + unhealthy.astype(jnp.float32),
+                            streak_new])
+    return out_cam, health_out
+
+
 def _track_frame_impl(params, map_pos, grid, feats,
                       gt_color, gt_depth, cam7_init, key,
                       opts: TrackOptions, ropts: RenderOptions,
@@ -417,22 +470,14 @@ def _track_frame_impl(params, map_pos, grid, feats,
 
     out_cam = best_cam
     if health is None:
-        health_out = jnp.zeros((2,))
+        health_out = jnp.zeros((3,))
     else:
-        ema, nrej = health[0], health[1]
-        best_nm = best_nm.astype(jnp.float32)
-        mean_best = best_loss / jnp.maximum(best_nm, 1.0)
         total_px = jnp.float32(opts.pixels)
         if psum_axis is not None:
             total_px = total_px * jax.lax.psum(1, psum_axis)
-        # two failure signatures: (a) per-pixel loss far above the healthy
-        # EMA (the optimizer converged somewhere photometrically wrong);
-        # (b) mask-support collapse — almost every ray lost its neighbors
-        # / failed the gates, so the "optimum" is unconstrained noise
-        bad_loss = (ema > 0) & (mean_best > opts.health_gate * ema)
-        bad_support = best_nm < 0.05 * total_px
-        unhealthy = (opts.health_gate > 0) & (bad_loss | bad_support)
-        out_cam = jnp.where(unhealthy, cam7_init, best_cam)
+        out_cam, health_out = _apply_health_gate(
+            health, best_loss, best_nm.astype(jnp.float32),
+            cam7_init, best_cam, opts, total_px=total_px)
         # creep immunity (round-4 flagship replay, BASELINE.md): a gradual
         # tracking slide raises the loss ~1.7x per few frames — slowly
         # enough that an EMA updated on every accepted frame follows it up
@@ -442,15 +487,6 @@ def _track_frame_impl(params, map_pos, grid, feats,
         # the 2000-frame replay; the slide sits 1.7-4x), so sustained
         # elevation is measured against a pinned healthy level instead of
         # chasing it. The pose is still only rejected at health_gate x.
-        healthy_update = mean_best <= opts.health_freeze * ema
-        ema_new = jnp.where(
-            unhealthy, ema,
-            jnp.where(ema > 0,
-                      jnp.where(healthy_update,
-                                0.95 * ema + 0.05 * mean_best, ema),
-                      mean_best))
-        health_out = jnp.stack([ema_new,
-                                nrej + unhealthy.astype(jnp.float32)])
     # the 4x4 pose is produced in-program: converting on the host would
     # dispatch ~10 eager device ops (each a multi-ms round trip on remote
     # runtimes)

@@ -125,6 +125,19 @@ def _upload_frame(color_np, depth_np):
                              jnp.float32(scale))
 
 
+def _arg_specs(tree):
+    """Replace arrays in a pytree of jit args with ShapeDtypeStructs so
+    the tree can be kept (and later passed to .lower()) without holding
+    device buffers alive or tripping on donated ones."""
+    def spec(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype
+                                        if isinstance(x, np.ndarray)
+                                        else x.dtype)
+        return x
+    return jax.tree.map(spec, tree)
+
+
 def update_cam(cfg) -> Dict[str, float]:
     """Rescale/crop intrinsics (reference src/Point_SLAM.py:155-176)."""
     cam = dict(cfg["cam"])
@@ -153,6 +166,33 @@ class LoopySLAM:
         self.output = output or cfg["data"]["output"]
         os.makedirs(self.output, exist_ok=True)
         os.makedirs(os.path.join(self.output, "ckpts"), exist_ok=True)
+
+        # run lock: exactly one live session per output directory. A
+        # second concurrent run against the same output silently doubles
+        # device contention and interleaves checkpoint writes (the round-4
+        # flagship slip ran two bit-identical processes on one chip,
+        # BASELINE.md "process-management slip"). flock releases
+        # automatically when the process exits, however it exits.
+        import fcntl
+        self._run_lock = open(os.path.join(self.output, ".run.lock"), "w")
+        try:
+            fcntl.flock(self._run_lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            holder = ""
+            try:
+                with open(os.path.join(self.output, ".run.lock")) as f:
+                    holder = f.read().strip()
+            except OSError:
+                pass
+            raise RuntimeError(
+                f"output directory {self.output} is already in use by a "
+                f"live run (pid {holder or 'unknown'}). Pick a different "
+                "--output or stop the other run first.")
+        self._run_lock.write(f"{os.getpid()}\n")
+        self._run_lock.flush()
+        if cfg["verbose"]:
+            print(f"session pid={os.getpid()} devices="
+                  f"{[str(d) for d in jax.devices()]}")
 
         from .models import decoder as decoder_mod
 
@@ -233,7 +273,8 @@ class LoopySLAM:
         self._prev_frame = None  # (color, depth) for the visual odometer
         # tracking health gate state [ema_mean_loss, n_rejected]; lives on
         # device for the whole run (mapping/tracker.py health docstring)
-        self.track_health = jnp.zeros((2,))
+        # [loss EMA, total rejects, consecutive-reject streak]
+        self.track_health = jnp.zeros((3,))
         self.exposure_feat = jnp.zeros((cfg["model"]["exposure_dim"],))
         self.kf_exposure: Dict[int, np.ndarray] = {}
         # per-mapped-frame exposure latents + on-disk color-decoder
@@ -243,6 +284,18 @@ class LoopySLAM:
         # consumed at Mapper.py:1095-1114)
         self.mapped_exposure: Dict[int, np.ndarray] = {}
         self.timings: Dict[str, List[float]] = {"track": [], "map": []}
+        # arg shape-specs of the two hot programs, captured at their call
+        # sites so roofline() can lower/compile the EXACT programs the run
+        # executes and read XLA's flop/byte accounting (bench.py MFU)
+        self._roofline_specs: Dict[str, Dict] = {}
+        # host cache of the ACTIVE segment's frames (color uint8 + depth),
+        # filled by the run loop and consumed by the loop-closure path —
+        # _tsdf_registration_cloud and the per-frame ORB baseline would
+        # otherwise re-load every segment frame from the dataset TWICE at
+        # each segment boundary (the r4 bench's 117 s tail frame was
+        # mostly this: ~50 dataset decodes on the critical path). Evicted
+        # after the segment's TSDF cloud + ORB baseline are computed.
+        self._seg_frames: Dict[int, tuple] = {}
 
         # submaps + loop closure
         self.fm = FragmentManager(
@@ -252,8 +305,22 @@ class LoopySLAM:
         self.active_sensor_start = 0
         self.registration_voxel = cfg["meshing"].get(
             "registration_voxel", 5.0 / 512.0)
-        self.lc_enabled = cfg["mapping"]["segment_strategy"] in (
-            "rot_trans", "fixed")
+        seg_strategy = cfg["mapping"]["segment_strategy"]
+        if seg_strategy not in ("rot_trans", "fixed", "none"):
+            # a typo here would silently disable loop closure
+            raise ValueError(
+                f"mapping.segment_strategy={seg_strategy!r} is not one of "
+                "'rot_trans' (motion-triggered submaps, the reference "
+                "default), 'fixed' (every segment_fixed_n mapped frames), "
+                "or 'none' (single global map, loop closure off)")
+        self.lc_enabled = seg_strategy in ("rot_trans", "fixed")
+        if self.lc_enabled and self.n_img > 50:
+            # warm the segment-boundary TSDF programs off the critical
+            # path: the first loop-closure frame otherwise pays the
+            # integrate/extract compiles inside a mapped frame's wall time
+            # (part of the r4 bench's 117 s tail). Skipped for tiny test
+            # sessions, where no segment boundary is ever reached.
+            self._warm_lc_programs()
 
         # multi-chip: rays data-parallel over a device mesh (mapping is the
         # throughput bottleneck; tracking latency gains little from DP at
@@ -432,15 +499,20 @@ class LoopySLAM:
              exp_mlp, self.track_health) = step(*args)
         else:
             s = self.map_state
+            targs = (self.params, s.pos, s.grid, s.feat, color, depth,
+                     cam7, kt)
+            tkw = dict(sel_i=sel_i, sel_j=sel_j, r_query=self.cur_r_query,
+                       use_selected=use_selected,
+                       exposure_feat=(self.exposure_feat
+                                      if self.encode_exposure else None),
+                       health=self.track_health)
+            self._roofline_specs["track"] = {
+                "args": _arg_specs(targs + (self.topts,
+                                            self.ropts_tracker)),
+                "kwargs": _arg_specs(tkw)}
             (best_cam, best_c2w44, first_loss, best_loss, ef,
              exp_mlp, self.track_health) = tracker_mod.track_frame(
-                self.params, s.pos, s.grid, s.feat, color, depth, cam7, kt,
-                self.topts, self.ropts_tracker,
-                sel_i=sel_i, sel_j=sel_j, r_query=self.cur_r_query,
-                use_selected=use_selected,
-                exposure_feat=(self.exposure_feat if self.encode_exposure
-                               else None),
-                health=self.track_health)
+                *targs, self.topts, self.ropts_tracker, **tkw)
         if self.encode_exposure and ef is not None:
             # tracker co-optimizes the exposure latent and MLP
             # (Tracker.py:329-344); both are shared with the mapper
@@ -655,6 +727,31 @@ class LoopySLAM:
                                des, idx_start_features=n_carry)
         self.lc.on_new_segment(des)
 
+    def _warm_lc_programs(self):
+        """Compile-warm the TSDF fuse + mesh-extract programs with the
+        run's real shapes (frame HxW, fixed 192^3 grid) so the first
+        segment boundary doesn't pay them inside a mapped frame."""
+        g = tsdf.grid_for_bounds(np.zeros(3), np.ones(3) * 3.0,
+                                 self.registration_voxel,
+                                 fixed_dims=(192, 192, 192))
+        g = tsdf.integrate(g, jnp.zeros((self.H, self.W)),
+                           jnp.zeros((self.H, self.W, 3)),
+                           jnp.eye(4), float(self.fx), float(self.fy),
+                           float(self.cx), float(self.cy),
+                           trunc=0.04, depth_trunc=30.0)
+        tsdf.extract_mesh(g)
+
+    def _segment_frame(self, i):
+        """A segment frame (float color, depth) from the run-loop cache,
+        falling back to a dataset load (restore path / evicted entries).
+        Color round-trips uint8 — identical to what on-disk datasets
+        provide, and extract_orb quantizes to uint8 anyway."""
+        if i in self._seg_frames:
+            c_u8, d = self._seg_frames[i]
+            return c_u8.astype(np.float32) / 255.0, d
+        _, c, d, _ = self.dataset[i]
+        return c, d
+
     def _tsdf_registration_cloud(self, start_idx, end_idx):
         """Fuse a segment's frames into a TSDF and return mesh vertices +
         colors — the registration cloud (compute_tsdf parity,
@@ -665,8 +762,7 @@ class LoopySLAM:
         to 0.04 anyway, so any voxel <= ~0.02 is equivalent for it."""
         frames, poses = [], []
         for i in range(start_idx, end_idx):
-            _, c, d, _ = self.dataset[i]
-            frames.append((c, d))
+            frames.append(self._segment_frame(i))
             poses.append(self.estimate_c2w[i])
         # bound-derived voxel floor
         lo = np.array([np.inf] * 3)
@@ -699,9 +795,14 @@ class LoopySLAM:
             old.start_idx, new.start_idx)
         frame_des = []
         for i in range(old.start_idx + 1, new.start_idx):
-            _, c, _, _ = self.dataset[i]
+            c, _ = self._segment_frame(i)
             frame_des.append(pr.extract_orb(c))
         self.lc.compute_baseline(old.anchor_des, frame_des)
+        # the closed segment's cached frames served their purpose (TSDF
+        # cloud + ORB baseline); only the new segment's frames stay
+        for i in list(self._seg_frames):
+            if i < new.start_idx:
+                del self._seg_frames[i]
         if len(frags) <= 3:
             return None
         corrections = self.lc.compute_correction()
@@ -775,11 +876,23 @@ class LoopySLAM:
         # adaptive capacity: duplicate-averaged fragment overlap raises
         # per-cell density past any single fragment's (room0_r3d: 28284 of
         # 136k merged points — 21% — overflowed at the fragment-map M and
-        # became invisible to every k-NN consumer in color refine + eval)
+        # became invisible to every k-NN consumer in color refine + eval).
+        # build_adaptive escalates row depth AND table size until nothing
+        # drops (the r4 flagship's 128k merge was collision-bound: 568
+        # drops survived 3 row doublings at the 2^16 table); a drop here
+        # is silent accuracy loss for the rest of the run, so any residue
+        # is a hard error, never a warning.
         grid = knn.build_adaptive(pos, jnp.arange(cap) < count,
                                   self.mopts_map.cell_size,
                                   self.mopts_map.table_size,
                                   self.mopts_map.max_per_cell)
+        merge_drops = int(grid.n_dropped)
+        if merge_drops:
+            raise RuntimeError(
+                f"global-merge kNN rebuild dropped {merge_drops} of {n} "
+                "points even after adaptive row/table escalation — the "
+                "merged cloud is denser than the index can represent; "
+                "raise pointcloud.cell_table_size or max_per_cell")
         self.map_state = MapState(pos=pos, feat=feat, count=count,
                                   grid=grid, in_pos=s.in_pos,
                                   in_rgb=s.in_rgb, in_count=s.in_count)
@@ -1157,16 +1270,25 @@ class LoopySLAM:
                         self._dev(done_geo + done_col, np.int32)))
                     trainable, st, aux = sharded_opt(*args)
                 else:
-                    trainable, st, aux = mapper_mod.optimize_map(
-                        trainable, st, dec_mask, feat_mask,
-                        self.map_state.pos, self.map_state.grid, kc, kd, kp,
-                        krq, km, self._dev(g, np.int32),
-                        self._dev(c, np.int32), lrs_geo, lrs_col,
-                        self.mopts, self.ropts_mapper, pix_per_frame,
-                        self.use_dynamic_radius, kf_exposure,
+                    margs = (trainable, st, dec_mask, feat_mask,
+                             self.map_state.pos, self.map_state.grid, kc,
+                             kd, kp, krq, km, self._dev(g, np.int32),
+                             self._dev(c, np.int32), lrs_geo, lrs_col,
+                             self.mopts, self.ropts_mapper, pix_per_frame,
+                             self.use_dynamic_radius, kf_exposure)
+                    mkw = dict(
                         ba_row_mask=ba_row_mask, ba_lr=ba_lr,
                         ba_window=ba_window,
-                        iter_offset=self._dev(done_geo + done_col, np.int32))
+                        iter_offset=self._dev(done_geo + done_col,
+                                              np.int32))
+                    if g + c == chunk and not init and not color_refine:
+                        # a full steady-state chunk (the hot program)
+                        self._roofline_specs["map"] = {
+                            "args": _arg_specs(margs),
+                            "kwargs": _arg_specs(mkw),
+                            "chunk_iters": chunk}
+                    trainable, st, aux = mapper_mod.optimize_map(
+                        *margs, **mkw)
                 done_geo += g
                 done_col += c
         if self.encode_exposure:
@@ -1353,7 +1475,10 @@ class LoopySLAM:
         self.selected_keyframes = dict(ckpt["selected_keyframes"])
         self.exposure_feat = jnp.asarray(r["exposure_feat"])
         if "track_health" in r:  # absent in pre-gate checkpoints
-            self.track_health = jnp.asarray(r["track_health"])
+            th = np.asarray(r["track_health"], np.float32)
+            if th.shape[0] == 2:  # pre-streak checkpoints: streak = 0
+                th = np.concatenate([th, np.zeros((1,), np.float32)])
+            self.track_health = jnp.asarray(th)
         self.prev_mapped_idx = r["prev_mapped_idx"]
 
         # ---- keyframe pixel ring: re-read frames from the dataset in the
@@ -1446,98 +1571,130 @@ class LoopySLAM:
 
         def _producer():
             for i in range(start_idx, self.n_img):
-                item = self.dataset[i]
+                try:
+                    item = self.dataset[i]
+                except BaseException as e:  # noqa: BLE001
+                    # a corrupt/missing frame must fail the run at the
+                    # consumer, not silently kill this daemon thread and
+                    # deadlock frames_q.get()
+                    item = e
                 while not stop_evt.is_set():
                     try:
                         frames_q.put((i, item), timeout=0.5)
                         break
                     except _queue.Full:
                         continue
-                if stop_evt.is_set():
+                if stop_evt.is_set() or isinstance(item, BaseException):
                     return
 
         prefetch_t = _threading.Thread(target=_producer, daemon=True)
         prefetch_t.start()
-        for idx in range(start_idx, self.n_img):
-            if progress:
-                import sys
-                err = (np.linalg.norm(self.estimate_c2w[idx - 1][:3, 3]
-                                      - self.gt_c2w[idx - 1][:3, 3])
-                       if idx > 0 else 0.0)
-                print(f"[frame {idx}/{self.n_img} "
-                      f"t={time.perf_counter():.0f} prev_err={err:.4f} "
-                      f"pts={int(self.map_state.count)} "
-                      f"segs={len(self.fm.fragments)}]",
-                      file=sys.stderr, flush=True)
-            t_f = time.perf_counter()
-            pf_idx, (_, color_np, depth_np, gt_c2w) = frames_q.get()
+
+        def _next_frame(idx):
+            while True:
+                try:
+                    pf_idx, item = frames_q.get(timeout=10.0)
+                    break
+                except _queue.Empty:
+                    if not prefetch_t.is_alive():
+                        raise RuntimeError(
+                            "frame prefetch thread died without delivering "
+                            f"frame {idx}") from None
+            if isinstance(item, BaseException):
+                raise RuntimeError(
+                    f"frame {pf_idx} failed to load") from item
             assert pf_idx == idx, (pf_idx, idx)  # strictly sequential
-            self.timings.setdefault("data", []).append(
-                time.perf_counter() - t_f)
-            t_f = time.perf_counter()
-            color, depth = _upload_frame(color_np, depth_np)
-            self.gt_c2w[idx] = gt_c2w
-            self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
-            self.timings.setdefault("upload", []).append(
-                time.perf_counter() - t_f)
+            return item
 
-            if idx <= 1 or self.cfg["tracking"]["gt_camera"]:
-                self.estimate_c2w[idx] = gt_c2w
-            else:
-                t0 = time.perf_counter()
-                self.estimate_c2w[idx] = self.track_frame(
-                    idx, color, depth, color_np, depth_np=depth_np)
-                self.timings["track"].append(time.perf_counter() - t0)
-                if self.tracking_vis is not None:
-                    t_f = time.perf_counter()
-                    self.tracking_vis.vis(
-                        idx, self.topts.iters - 1, depth_np, color_np,
-                        self.estimate_c2w[idx],
-                        r_query_map=self.cur_r_query)
-                    self.timings.setdefault("vis", []).append(
-                        time.perf_counter() - t_f)
+        # the producer must be stopped even when tracking/mapping
+        # raises — otherwise it keeps decoding frames until the
+        # queue fills and leaks a busy thread past run() (for
+        # embedded/test callers that outlive the failed run)
+        try:
+            for idx in range(start_idx, self.n_img):
+                if progress:
+                    import sys
+                    err = (np.linalg.norm(self.estimate_c2w[idx - 1][:3, 3]
+                                          - self.gt_c2w[idx - 1][:3, 3])
+                           if idx > 0 else 0.0)
+                    print(f"[frame {idx}/{self.n_img} "
+                          f"t={time.perf_counter():.0f} prev_err={err:.4f} "
+                          f"pts={int(self.map_state.count)} "
+                          f"segs={len(self.fm.fragments)}]",
+                          file=sys.stderr, flush=True)
+                t_f = time.perf_counter()
+                _, color_np, depth_np, gt_c2w = _next_frame(idx)
+                self.timings.setdefault("data", []).append(
+                    time.perf_counter() - t_f)
+                t_f = time.perf_counter()
+                color, depth = _upload_frame(color_np, depth_np)
+                if self.lc_enabled and len(self._seg_frames) < 2000:
+                    self._seg_frames[idx] = (
+                        np.clip(color_np * 255.0, 0,
+                                255).astype(np.uint8), depth_np)
+                self.gt_c2w[idx] = gt_c2w
+                self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
+                self.timings.setdefault("upload", []).append(
+                    time.perf_counter() - t_f)
 
-            if idx % self.every_frame == 0 or idx == self.n_img - 1:
-                if self.verbose:
-                    print(f"Mapping Frame {idx}")
-                t0 = time.perf_counter()
-                self.map_frame(idx, color, depth, gt_c2w, color_np,
-                               depth_np=depth_np)
-                # hard sync: async runtimes may return before the optimizer
-                # chunks complete, which would misattribute mapping time to
-                # the next tracking call
-                _ = np.asarray((self._smap if self.shard_mesh is not None
-                                else self.map_state).feat[0, 0])
-                self.timings["map"].append(time.perf_counter() - t0)
-                if self.mapping_vis is not None:
-                    t_f = time.perf_counter()
-                    self.mapping_vis.vis(
-                        idx, self.cfg["mapping"]["iters"] - 1,
-                        depth_np, color_np,
-                        self.estimate_c2w[idx],
-                        r_query_map=self.cur_r_query)
-                    self.timings.setdefault("vis", []).append(
-                        time.perf_counter() - t_f)
-                if (idx == self.n_img - 1 and self.cfg["mapping"]["color_refine"]
-                        and not stop):
+                if idx <= 1 or self.cfg["tracking"]["gt_camera"]:
+                    self.estimate_c2w[idx] = gt_c2w
+                else:
+                    t0 = time.perf_counter()
+                    self.estimate_c2w[idx] = self.track_frame(
+                        idx, color, depth, color_np, depth_np=depth_np)
+                    self.timings["track"].append(time.perf_counter() - t0)
+                    if self.tracking_vis is not None:
+                        t_f = time.perf_counter()
+                        self.tracking_vis.vis(
+                            idx, self.topts.iters - 1, depth_np, color_np,
+                            self.estimate_c2w[idx],
+                            r_query_map=self.cur_r_query)
+                        self.timings.setdefault("vis", []).append(
+                            time.perf_counter() - t_f)
+
+                if idx % self.every_frame == 0 or idx == self.n_img - 1:
                     if self.verbose:
-                        print("color_refine")
+                        print(f"Mapping Frame {idx}")
+                    t0 = time.perf_counter()
                     self.map_frame(idx, color, depth, gt_c2w, color_np,
-                                   depth_np=depth_np, color_refine=True)
+                                   depth_np=depth_np)
+                    # hard sync: async runtimes may return before the optimizer
+                    # chunks complete, which would misattribute mapping time to
+                    # the next tracking call
+                    _ = np.asarray((self._smap if self.shard_mesh is not None
+                                    else self.map_state).feat[0, 0])
+                    self.timings["map"].append(time.perf_counter() - t0)
+                    if self.mapping_vis is not None:
+                        t_f = time.perf_counter()
+                        self.mapping_vis.vis(
+                            idx, self.cfg["mapping"]["iters"] - 1,
+                            depth_np, color_np,
+                            self.estimate_c2w[idx],
+                            r_query_map=self.cur_r_query)
+                        self.timings.setdefault("vis", []).append(
+                            time.perf_counter() - t_f)
+                    if (idx == self.n_img - 1 and self.cfg["mapping"]["color_refine"]
+                            and not stop):
+                        if self.verbose:
+                            print("color_refine")
+                        self.map_frame(idx, color, depth, gt_c2w, color_np,
+                                       depth_np=depth_np, color_refine=True)
 
-            if self.cfg["tracking"]["visual_odometer"]:
-                self._prev_frame = (color, depth)
+                if self.cfg["tracking"]["visual_odometer"]:
+                    self._prev_frame = (color, depth)
 
-            # periodic checkpointing (Logger cadence, Mapper.py:1027-1033)
-            ckpt_freq = self.cfg["mapping"]["ckpt_freq"]
-            if (self.cfg["mapping"]["save_ckpts"] and idx > 0
-                    and idx % ckpt_freq == 0):
-                self.finalize(idx, final=False)
+                # periodic checkpointing (Logger cadence, Mapper.py:1027-1033)
+                ckpt_freq = self.cfg["mapping"]["ckpt_freq"]
+                if (self.cfg["mapping"]["save_ckpts"] and idx > 0
+                        and idx % ckpt_freq == 0):
+                    self.finalize(idx, final=False)
 
-            if stop and idx != 0 and idx % stop == 0:
-                break
+                if stop and idx != 0 and idx % stop == 0:
+                    break
 
-        stop_evt.set()
+        finally:
+            stop_evt.set()
         self.finalize(idx)
         if self.verbose:
             # per-phase timing report (reference prints registration/PGO
@@ -1587,8 +1744,24 @@ class LoopySLAM:
         rdir = os.path.join(self.output, "rendered_every_frame")
         os.makedirs(rdir, exist_ok=True)
         pairs, renders, poses = [], [], []
+        n_reused = 0
         for idx in range(0, self.n_img, every):
             _, gc, gd, _ = self.dataset[idx]
+            # resume-aware: a prior (interrupted) final_eval over the same
+            # final checkpoint already wrote this frame's renders — reuse
+            # them instead of re-rendering (the map state is deterministic
+            # from the checkpoint, so the saved arrays are identical)
+            cpath = os.path.join(rdir, f"color_{idx:05d}.npy")
+            dpath = os.path.join(rdir, f"depth_{idx:05d}.npy")
+            if save_renders and os.path.exists(cpath) \
+                    and os.path.exists(dpath):
+                color, depth = np.load(cpath), np.load(dpath)
+                pairs.append((color, gc, depth, gd))
+                renders.append((color.astype(np.float32),
+                                depth.astype(np.float32)))
+                poses.append(self.estimate_c2w[idx])
+                n_reused += 1
+                continue
             rq = None
             if self.use_dynamic_radius:
                 _, rq = self._dynamic_radius(gc)
@@ -1616,6 +1789,8 @@ class LoopySLAM:
             if save_renders:
                 np.save(os.path.join(rdir, f"color_{idx:05d}.npy"), color)
                 np.save(os.path.join(rdir, f"depth_{idx:05d}.npy"), depth)
+        if self.verbose and n_reused:
+            print(f"final_eval: reused {n_reused} saved renders from {rdir}")
         render_stats = evaluate_renders(
             pairs, lpips_weights=self.cfg["rendering"].get("lpips_weights"))
         if self.verbose:
@@ -1656,6 +1831,30 @@ class LoopySLAM:
                 if self.verbose:
                     print("reconstruction metrics:", recon_stats)
         return {**render_stats, **recon_stats}
+
+    # ------------------------------------------------------------------
+    def roofline(self) -> Dict[str, Dict[str, float]]:
+        """XLA cost accounting of the two hot programs (the exact
+        track/map programs this session last executed, re-lowered from
+        their captured arg shapes). Returns {phase: {flops, bytes}} —
+        flops is the compiler's per-execution FLOP count, bytes its
+        HBM-traffic estimate. bench.py divides by measured wall times for
+        achieved FLOP/s + bandwidth vs the chip's peaks (MFU)."""
+        out = {}
+        fns = {"track": tracker_mod.track_frame,
+               "map": mapper_mod.optimize_map}
+        for name, spec in self._roofline_specs.items():
+            ca = fns[name].lower(
+                *spec["args"], **spec["kwargs"]).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            if ca is None:
+                continue
+            out[name] = {"flops": float(ca.get("flops", 0.0)),
+                         "bytes": float(ca.get("bytes accessed", 0.0))}
+            if "chunk_iters" in spec:
+                out[name]["chunk_iters"] = spec["chunk_iters"]
+        return out
 
     # ------------------------------------------------------------------
     def finalize(self, last_idx, final: bool = True):

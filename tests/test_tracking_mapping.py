@@ -225,8 +225,13 @@ def test_health_gate_contains_alias_slide(cfg):
     cfg = small_cfg()
     ds, state, params, mopts, ropts, (color, depth, c2w), _ = \
         build_mapped_scene(cfg, n_iters=500)
+    # gate pinned at the production default (config.py health_gate_factor
+    # = 4.0). The alias frame's loss ratio sits ~4.8x the EMA under the
+    # float32 synthetic render (5.5x under the original float64 one) —
+    # margining at 4.0 keeps the pin on the production operating point
+    # instead of a knife-edge above it.
     topts = tracker_mod.TrackOptions.from_cfg(cfg)._replace(
-        pixels=300, iters=20, health_gate=5.0,
+        pixels=300, iters=20, health_gate=4.0,
         H=cfg["cam"]["H"], W=cfg["cam"]["W"],
         fx=cfg["cam"]["fx"], fy=cfg["cam"]["fy"],
         cx=cfg["cam"]["cx"], cy=cfg["cam"]["cy"])
