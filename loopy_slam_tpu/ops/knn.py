@@ -142,27 +142,40 @@ def build(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
 
 def build_adaptive(points: jnp.ndarray, valid: jnp.ndarray, cell_size,
                    table_size: int, max_per_cell: int = 16,
-                   max_doublings: int = 3) -> HashGrid:
-    """build(), retrying with doubled max_per_cell until nothing drops.
+                   max_doublings: int = 3,
+                   table_doublings: int = 3) -> HashGrid:
+    """build(), escalating capacity until nothing drops: double
+    max_per_cell up to max_doublings times; if rows STILL overflow —
+    which at high load factor means hash collisions are merging distinct
+    cells into shared rows, so row depth alone cannot fix it — double
+    table_size (collision relief) and restart the row-depth ladder, up to
+    table_doublings times.
 
     For OFF-hot-path rebuilds only (PGO-correction rebuilds, the end-state
     global merge, resume, mesh extraction): a dropped point is invisible to
     every k-NN consumer — it exists in the buffer but is never rendered or
     matched. The live per-frame insert path keeps its fixed-capacity gate;
     rebuild events are host-triggered and rare, so a host sync on n_dropped
-    plus at most max_doublings recompiles (persistent-cached) is cheap.
+    plus a few recompiles (persistent-cached) is cheap.
     Measured need: the room0_r3d merged global map (136k points) overflowed
     21% of its points (28284 dropped) at the fragment-map capacity M=16 —
     duplicate-averaged fragment overlap raises per-cell density past any
-    single fragment's. Downstream programs specialize on the grid's M
-    automatically (shapes carry it)."""
-    M = max_per_cell
-    grid = build(points, valid, cell_size, table_size, M)
-    for _ in range(max_doublings):
+    single fragment's; the r4 flagship's 128k-point merge still dropped
+    568 rows after 3 row doublings (collision-bound at a 2^16 table).
+    Downstream programs specialize on the grid's (table, M) automatically
+    (shapes carry them)."""
+    T = table_size
+    for t in range(table_doublings + 1):
+        M = max_per_cell
+        grid = build(points, valid, cell_size, T, M)
+        for _ in range(max_doublings):
+            if int(grid.n_dropped) == 0:
+                break
+            M *= 2
+            grid = build(points, valid, cell_size, T, M)
         if int(grid.n_dropped) == 0:
             break
-        M *= 2
-        grid = build(points, valid, cell_size, table_size, M)
+        T *= 2
     return grid
 
 
@@ -177,6 +190,9 @@ def insert(grid: HashGrid, table_size: int, new_points: jnp.ndarray,
     within a row may differ, which no consumer observes).
     """
     M = grid.cell_data.shape[1]
+    # authoritative table size from the grid's own shape (build_adaptive
+    # may have grown it); the parameter stays for API parity
+    table_size = grid.cell_data.shape[0] - 1
     A = new_points.shape[0]
     codes = _hash_cells(_cell_of(new_points, grid.cell_size), table_size)
     codes = jnp.where(new_valid, codes, jnp.int32(table_size))
@@ -358,6 +374,11 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
        feature gather instead (see renderer.eval_points)]
     """
     M = grid.cell_data.shape[1]  # authoritative (build-time) slot count
+    # table size likewise comes from the grid's own shape: build_adaptive
+    # may have doubled the table past the configured size (collision
+    # relief at the global merge); hashing with the configured size would
+    # silently probe the wrong rows. The parameter stays for API parity.
+    table_size = grid.cell_data.shape[0] - 1
     S = _OFFSETS27.shape[0]
     Q = queries.shape[0]
     r = jnp.asarray(radius, jnp.float32)

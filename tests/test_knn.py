@@ -194,6 +194,43 @@ def test_build_adaptive_recovers_overflowed_points():
     assert bool(jnp.all(nn >= 1))
 
 
+def test_build_adaptive_grows_table_when_collision_bound():
+    """The r4 flagship's 128k-point global merge dropped 568 rows even
+    after 3 row doublings: at high load factor, hash collisions merge
+    DISTINCT cells into shared rows, and row depth alone cannot fix
+    that. build_adaptive must escalate table size too, and queries must
+    hash with the grid's own (grown) table size — hashing with the
+    configured size would silently probe the wrong rows."""
+    rng = np.random.default_rng(31)
+    cell, M, T = 0.1, 8, 2 ** 4  # tiny table: collisions guaranteed
+    # 200 occupied cells over a 16-row table -> ~12 cells/row; each cell
+    # holds M points, so merged rows carry ~100 points — beyond the
+    # row-doubling ceiling (8 -> 64); only a bigger table can fit them
+    base = np.stack(np.meshgrid(*[np.arange(6)] * 3),
+                    -1).reshape(-1, 3)[:200] * cell
+    pts = (base[:, None, :]
+           + rng.uniform(0.01, 0.09, (len(base), M, 3))).reshape(-1, 3)
+    pts = jnp.asarray(pts, jnp.float32)
+    valid = jnp.ones(len(pts), bool)
+
+    g = knn.build_adaptive(pts, valid, cell, T, M)
+    assert int(g.n_dropped) == 0
+    assert g.cell_data.shape[0] - 1 > T  # table actually grew
+    # every point reachable through query (which must use the GROWN size
+    # internally even though the caller passes the configured T)
+    D, I, nn = knn.query(g, pts, pts, 1, 0.02, T, g.cell_data.shape[1])
+    assert bool(jnp.all(nn >= 1))
+    # insert into the grown grid also routes by the grown table
+    extra = jnp.asarray(rng.uniform(0.01, 0.55, (16, 3)).astype(np.float32))
+    g2 = knn.insert(g, T, extra,
+                    jnp.arange(len(pts), len(pts) + 16, dtype=jnp.int32),
+                    jnp.ones(16, bool))
+    allp = jnp.concatenate([pts, extra])
+    D2, I2, nn2 = knn.query(g2, allp, extra, 1, 0.02, T,
+                            g2.cell_data.shape[1])
+    assert bool(jnp.all(nn2 >= 1))
+
+
 def test_wide_row_selection_matches_brute_force():
     """M=128 rows (the adaptive global-merge capacity that killed the r4
     flagship run at frame 1999: 27*128*4 = 13824 lanes > the old 8188-lane
