@@ -70,15 +70,45 @@ def main():
     # segment boundary compiles the TSDF integrate program once per process)
     t_map = float(np.median(steady_mp)) if steady_mp.size else 0.0
     per_frame = t_track + t_map / every
-    fps = 1.0 / per_frame if per_frame > 0 else 0.0
+    steady_fps = 1.0 / per_frame if per_frame > 0 else 0.0
 
     # rendered-ray throughput during tracking (forward+backward per iter)
     rays_per_track = cfg["tracking"]["pixels"] * cfg["tracking"]["iters"]
     mrays = rays_per_track / t_track / 1e6 if t_track > 0 else 0.0
 
-    # honest amortized throughput: the compile tax cannot hide behind the
-    # median-based steady-state number (round-3 verdict: they were 19x apart)
+    # HEADLINE (round-4 verdict): honest amortized throughput over the
+    # whole process wall — setup, compiles, loop closure, everything.
+    # The median-based steady-state number above structurally hid the
+    # segment-boundary cost (r4: 1.78 "fps" vs 0.18 amortized); it stays
+    # as a diagnostic only.
     amortized_fps = cfg["data"]["n_frames"] / total if total > 0 else 0.0
+
+    # MFU / roofline (round-4 verdict): XLA's per-execution cost of the
+    # exact hot programs, vs measured wall. Peaks: TPU v5e (v5 lite):
+    # 197e12 bf16 FLOP/s, 819e9 B/s HBM. The map program is one
+    # device_chunk_iters chunk; a steady mapped frame runs iters/chunk of
+    # them, so achieved = flops * chunks_per_frame / map_median.
+    mfu = {}
+    try:
+        PEAK_FLOPS, PEAK_BW = 197e12, 819e9
+        rl = slam.roofline()
+        if "track" in rl and t_track > 0:
+            f = rl["track"]
+            mfu["mfu_track"] = round(f["flops"] / t_track / PEAK_FLOPS, 4)
+            mfu["hbm_frac_track"] = round(f["bytes"] / t_track / PEAK_BW, 4)
+            mfu["track_gflops_per_exec"] = round(f["flops"] / 1e9, 2)
+        if "map" in rl and t_map > 0:
+            f = rl["map"]
+            chunks = max(round(cfg["mapping"]["iters"]
+                               / f.get("chunk_iters", 64)), 1)
+            mfu["mfu_map"] = round(f["flops"] * chunks / t_map
+                                   / PEAK_FLOPS, 4)
+            mfu["hbm_frac_map"] = round(f["bytes"] * chunks / t_map
+                                        / PEAK_BW, 4)
+            mfu["map_gflops_per_chunk"] = round(f["flops"] / 1e9, 2)
+            mfu["map_gbytes_per_chunk"] = round(f["bytes"] / 1e9, 3)
+    except Exception as e:  # accounting must never fail the bench
+        mfu["mfu_error"] = repr(e)
 
     stats = evaluate_trajectories(result["estimate_c2w"], result["gt_c2w"])
     print(json.dumps({
@@ -87,7 +117,7 @@ def main():
         "devices": [str(d) for d in jax.devices()],
         "frames": int(cfg["data"]["n_frames"]),
         "wall_total_s": round(total, 2),
-        "amortized_fps": round(amortized_fps, 4),
+        "steady_state_fps": round(steady_fps, 4),
         "track_median_s": round(t_track, 4),
         "map_median_s": round(t_map, 4),
         "track_mrays_per_s": round(mrays, 3),
@@ -95,13 +125,14 @@ def main():
         "ate_rmse_noalign_m": round(stats["rmse_no_align"], 5),
         "n_points": result["n_points"],
         "health_rejects": int(np.asarray(slam.track_health)[1]),
+        **mfu,
     }), file=sys.stderr)
 
     print(json.dumps({
-        "metric": "synthetic_room_track_map_fps",
-        "value": round(fps, 4),
+        "metric": "synthetic_room_amortized_fps",
+        "value": round(amortized_fps, 4),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(amortized_fps / BASELINE_FPS, 3),
     }))
 
     # executable quality gate (round-3): speed only counts AT matched
