@@ -56,6 +56,85 @@ def evaluate_trajectories(est: np.ndarray, gt: np.ndarray,
     }
 
 
+def read_tum_trajectory(path: str) -> Dict[float, np.ndarray]:
+    """Read a TUM/freiburg-format text trajectory: one pose per line,
+    `timestamp tx ty tz qx qy qz qw`, '#' comments ignored (the format of
+    the TUM groundtruth.txt files and most SLAM tool outputs; reference
+    eval_ate.py:268-283 consumes the same). Returns {stamp: (7,) f64}."""
+    out: Dict[float, np.ndarray] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = [float(v) for v in line.replace(",", " ").split()]
+            if len(vals) < 8:
+                raise ValueError(
+                    f"{path}: expected 'stamp tx ty tz qx qy qz qw', "
+                    f"got {len(vals)} fields: {line!r}")
+            out[vals[0]] = np.asarray(vals[1:8], np.float64)
+    return out
+
+
+def associate(first: Dict[float, np.ndarray],
+              second: Dict[float, np.ndarray],
+              offset: float = 0.0, max_difference: float = 0.02):
+    """Greedy closest-stamp matching between two {stamp: data} dicts —
+    the TUM benchmark's association contract (reference
+    eval_ate.py:12-44): every candidate pair within max_difference is
+    ranked by |Δt| and consumed greedily, each stamp used at most once.
+    Returns sorted [(stamp1, stamp2)]."""
+    cands = sorted((abs(a - (b + offset)), a, b)
+                   for a in first for b in second
+                   if abs(a - (b + offset)) < max_difference)
+    used1, used2, matches = set(), set(), []
+    for _, a, b in cands:
+        if a not in used1 and b not in used2:
+            used1.add(a)
+            used2.add(b)
+            matches.append((a, b))
+    matches.sort()
+    return matches
+
+
+def _tum_to_c2w(vec7: np.ndarray) -> np.ndarray:
+    """tx ty tz qx qy qz qw -> 4x4 (translation is all ATE uses, but the
+    full matrix keeps the function generally useful)."""
+    t = vec7[:3]
+    x, y, z, w = vec7[3:7]
+    n = x * x + y * y + z * z + w * w
+    s = 0.0 if n == 0 else 2.0 / n
+    R = np.array([
+        [1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w)],
+        [s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w)],
+        [s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y)],
+    ])
+    c2w = np.eye(4)
+    c2w[:3, :3] = R
+    c2w[:3, 3] = t
+    return c2w
+
+
+def evaluate_tum_files(est_path: str, gt_path: str, offset: float = 0.0,
+                       max_difference: float = 0.02,
+                       scale: float = 1.0) -> Dict[str, float]:
+    """ATE between two timestamped freiburg-format trajectory files —
+    the reference tool's standalone mode (eval_ate.py:235-266), so
+    external trajectories (other SLAM systems, sensor logs) can be
+    scored without a checkpoint."""
+    est = read_tum_trajectory(est_path)
+    gt = read_tum_trajectory(gt_path)
+    matches = associate(est, gt, offset, max_difference)
+    if len(matches) < 2:
+        raise ValueError(
+            "couldn't associate the trajectories — check --offset / "
+            "--max_difference")
+    est_c2w = np.stack([_tum_to_c2w(np.concatenate(
+        [est[a][:3] * scale, est[a][3:]])) for a, _ in matches])
+    gt_c2w = np.stack([_tum_to_c2w(gt[b]) for _, b in matches])
+    return evaluate_trajectories(est_c2w, gt_c2w)
+
+
 def evaluate_from_output(output_dir: str, no_align=False, plot=False):
     from ..utils.io import load_checkpoint
 
@@ -85,11 +164,29 @@ def evaluate_from_output(output_dir: str, no_align=False, plot=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", nargs="?", default=None)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", default=None,
+                    help="run output dir (checkpoint mode)")
+    ap.add_argument("--est_traj", default=None,
+                    help="freiburg-format estimated trajectory file "
+                         "(standalone mode; requires --gt_traj)")
+    ap.add_argument("--gt_traj", default=None,
+                    help="freiburg-format ground-truth trajectory file")
+    ap.add_argument("--offset", type=float, default=0.0)
+    ap.add_argument("--max_difference", type=float, default=0.02)
+    ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--no_align", action="store_true")
     ap.add_argument("--plot", action="store_true")
     args = ap.parse_args()
-    stats = evaluate_from_output(args.output, args.no_align, args.plot)
+    if args.est_traj or args.gt_traj:
+        if not (args.est_traj and args.gt_traj):
+            ap.error("--est_traj and --gt_traj go together")
+        stats = evaluate_tum_files(args.est_traj, args.gt_traj,
+                                   args.offset, args.max_difference,
+                                   args.scale)
+    elif args.output:
+        stats = evaluate_from_output(args.output, args.no_align, args.plot)
+    else:
+        ap.error("pass --output DIR or --est_traj/--gt_traj files")
     key = "rmse_no_align" if args.no_align else "rmse"
     print({"absolute_translational_error.rmse": stats[key], **stats})
 
