@@ -314,12 +314,14 @@ class LoopySLAM:
                 "default), 'fixed' (every segment_fixed_n mapped frames), "
                 "or 'none' (single global map, loop closure off)")
         self.lc_enabled = seg_strategy in ("rot_trans", "fixed")
-        if self.lc_enabled and self.n_img > 50:
+        if self.lc_enabled and self.n_img > 20:
             # warm the segment-boundary TSDF programs off the critical
             # path: the first loop-closure frame otherwise pays the
             # integrate/extract compiles inside a mapped frame's wall time
-            # (part of the r4 bench's 117 s tail). Skipped for tiny test
-            # sessions, where no segment boundary is ever reached.
+            # (part of the r4 bench's 117 s tail; the 31-frame bench DOES
+            # reach a segment boundary, so the gate must include it).
+            # Skipped only for tiny test sessions (<= 20 frames), which
+            # never close a segment.
             self._warm_lc_programs()
 
         # multi-chip: rays data-parallel over a device mesh (mapping is the
@@ -728,9 +730,13 @@ class LoopySLAM:
         self.lc.on_new_segment(des)
 
     def _warm_lc_programs(self):
-        """Compile-warm the TSDF fuse + mesh-extract programs with the
-        run's real shapes (frame HxW, fixed 192^3 grid) so the first
-        segment boundary doesn't pay them inside a mapped frame."""
+        """Compile-warm the TSDF fuse program with the run's real shapes
+        (frame HxW, fixed 192^3 grid) so the first segment boundary
+        doesn't pay the compile inside a mapped frame. extract_mesh is
+        deliberately NOT warmed: it has no device programs (host
+        marching tets on a fetched grid), so 'warming' it would just
+        fetch 85 MB of empty grid through the tunnel (~10 s) for
+        nothing."""
         g = tsdf.grid_for_bounds(np.zeros(3), np.ones(3) * 3.0,
                                  self.registration_voxel,
                                  fixed_dims=(192, 192, 192))
@@ -739,7 +745,7 @@ class LoopySLAM:
                            jnp.eye(4), float(self.fx), float(self.fy),
                            float(self.cx), float(self.cy),
                            trunc=0.04, depth_trunc=30.0)
-        tsdf.extract_mesh(g)
+        jax.block_until_ready(g.tsdf)
 
     def _segment_frame(self, i):
         """A segment frame (float color, depth) from the run-loop cache,
