@@ -178,11 +178,16 @@ def add_points(state: MapState, opts: MapOptions, key,
     # rank (conservative: ranks are over all gate0 candidates' points, so
     # a rejected location still occupies its rank this batch).
     AN = A * opts.N_add
+    # the grid's OWN table size, not the configured one: build_adaptive
+    # may have grown the table at a PGO-correction rebuild, and knn.insert
+    # routes by the grown size — hashing the gate with the configured size
+    # would check cell_fill at the wrong rows for ~half the candidates
+    table_size = state.grid.cell_data.shape[0] - 1
     cell_h3 = knn._hash_cells(
         knn._cell_of(new_pts.reshape(AN, 3), state.grid.cell_size),
-        opts.table_size)  # (A*N,)
+        table_size)  # (A*N,)
     key_h = jnp.where(jnp.repeat(gate0, opts.N_add), cell_h3,
-                      jnp.int32(opts.table_size))
+                      jnp.int32(table_size))
     h_order = jnp.argsort(key_h).astype(jnp.int32)
     cs = key_h[h_order]
     first = jnp.searchsorted(cs, cs, side="left").astype(jnp.int32)

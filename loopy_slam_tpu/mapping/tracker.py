@@ -314,6 +314,11 @@ def _apply_health_gate(health, best_loss, best_nm, cam7_init, best_cam,
     escape = (opts.health_streak > 0) & unhealthy & ~bad_support \
         & (streak >= opts.health_streak - 1)
     unhealthy = unhealthy & ~escape
+    # the streak counts CONSECUTIVE loss-rejects only: a support-collapse
+    # reject resets it (and never escapes) — otherwise N-1 collapse
+    # frames followed by one photometrically-wrong convergence would
+    # fire the hatch immediately and re-seed the EMA at the bad level
+    streak_reject = unhealthy & ~bad_support
     out_cam = jnp.where(unhealthy, cam7_init, best_cam)
     healthy_update = mean_best <= opts.health_freeze * ema
     ema_new = jnp.where(
@@ -324,7 +329,7 @@ def _apply_health_gate(health, best_loss, best_nm, cam7_init, best_cam,
                                       0.95 * ema + 0.05 * mean_best,
                                       ema),
                             mean_best)))
-    streak_new = jnp.where(unhealthy, streak + 1.0, 0.0)
+    streak_new = jnp.where(streak_reject, streak + 1.0, 0.0)
     health_out = jnp.stack([ema_new,
                             nrej + unhealthy.astype(jnp.float32),
                             streak_new])

@@ -101,19 +101,21 @@ def bench_budget(n_devices: int = 8) -> Dict[str, float]:
     (synthetic room: 5000 rays/iter × 8 samples/ray, k=8 neighbors,
     c_dim 32 → feat rows 64 lanes, map capacity 2^15, decoders ≈ 0.4 MB)
     and at the FLAGSHIP shapes (same rays, capacity 2^17)."""
+    import jax
+    import jax.numpy as jnp
+
     k, c2 = 8, 64
     dec_bytes = 400_000
     out = {}
     for name, cap in (("bench", 2 ** 15), ("flagship", 2 ** 17)):
-        feat_bytes = cap * c2 * F32
         samples = 5000 * 8  # rays/iter × samples/ray, split across chips
         q_local = samples // n_devices
+        trainable = {
+            "feat": jax.ShapeDtypeStruct((cap, c2), jnp.float32),
+            "dec": jax.ShapeDtypeStruct((dec_bytes // F32,), jnp.float32),
+        }
         out[f"dp_iter_MB_{name}"] = dp_iter_bytes_per_chip(
-            {"feat": type("S", (), {"shape": (cap, c2),
-                                    "dtype": "float32"})(),
-             "dec": type("S", (), {"shape": (dec_bytes // F32,),
-                                   "dtype": "float32"})()},
-            n_devices) / 1e6
+            trainable, n_devices) / 1e6
         out[f"mshard_iter_MB_{name}"] = mshard_iter_bytes_per_chip(
             q_local, k, c2, dec_bytes, n_devices) / 1e6
     return out

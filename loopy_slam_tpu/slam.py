@@ -174,13 +174,17 @@ class LoopySLAM:
         # BASELINE.md "process-management slip"). flock releases
         # automatically when the process exits, however it exits.
         import fcntl
-        self._run_lock = open(os.path.join(self.output, ".run.lock"), "w")
+        lock_path = os.path.join(self.output, ".run.lock")
+        # 'a' not 'w': flock is advisory, so opening with 'w' would
+        # truncate the LIVE holder's pid record before the lock attempt —
+        # the contention diagnostic would always say 'pid unknown'
+        self._run_lock = open(lock_path, "a")
         try:
             fcntl.flock(self._run_lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
             holder = ""
             try:
-                with open(os.path.join(self.output, ".run.lock")) as f:
+                with open(lock_path) as f:
                     holder = f.read().strip()
             except OSError:
                 pass
@@ -188,6 +192,7 @@ class LoopySLAM:
                 f"output directory {self.output} is already in use by a "
                 f"live run (pid {holder or 'unknown'}). Pick a different "
                 "--output or stop the other run first.")
+        self._run_lock.truncate(0)
         self._run_lock.write(f"{os.getpid()}\n")
         self._run_lock.flush()
         if cfg["verbose"]:
@@ -660,9 +665,15 @@ class LoopySLAM:
         pos = jnp.zeros((new_cap, 3), jnp.float32).at[:cap].set(s.pos)
         feat = jnp.zeros((new_cap, s.feat.shape[1]),
                          jnp.float32).at[:cap].set(s.feat)
-        grid = knn.build(pos, jnp.arange(new_cap) < s.count,
-                         self.mopts_map.cell_size, self.mopts_map.table_size,
-                         self.mopts_map.max_per_cell)
+        # rebuild at the CURRENT grid's table/row capacity (build_adaptive
+        # may have grown either mid-run; rebuilding at the configured
+        # sizes would silently re-drop the points that escalation had
+        # recovered), then escalate further if this rebuild itself drops
+        grid = knn.build_adaptive(pos, jnp.arange(new_cap) < s.count,
+                                  self.mopts_map.cell_size,
+                                  s.grid.cell_data.shape[0] - 1,
+                                  max(self.mopts_map.max_per_cell,
+                                      s.grid.cell_data.shape[1]))
         self.map_state = s._replace(pos=pos, feat=feat, grid=grid)
         if self.verbose:
             print(f"grew point buffer {cap} -> {new_cap}")
@@ -1634,10 +1645,17 @@ class LoopySLAM:
                     time.perf_counter() - t_f)
                 t_f = time.perf_counter()
                 color, depth = _upload_frame(color_np, depth_np)
-                if self.lc_enabled and len(self._seg_frames) < 2000:
+                if self.lc_enabled:
                     self._seg_frames[idx] = (
                         np.clip(color_np * 255.0, 0,
                                 255).astype(np.uint8), depth_np)
+                    # bounded even when no segment boundary ever fires
+                    # (gentle trajectory): evict the OLDEST entries past
+                    # the cap — _segment_frame falls back to a dataset
+                    # load for evicted frames, so only speed is lost.
+                    # 600 frames ~= 3.4 GB at 680x1200.
+                    while len(self._seg_frames) > 600:
+                        del self._seg_frames[min(self._seg_frames)]
                 self.gt_c2w[idx] = gt_c2w
                 self.cur_r_add, self.cur_r_query = self._dynamic_radius(color_np)
                 self.timings.setdefault("upload", []).append(

@@ -83,10 +83,26 @@ def associate(first: Dict[float, np.ndarray],
     the TUM benchmark's association contract (reference
     eval_ate.py:12-44): every candidate pair within max_difference is
     ranked by |Δt| and consumed greedily, each stamp used at most once.
-    Returns sorted [(stamp1, stamp2)]."""
-    cands = sorted((abs(a - (b + offset)), a, b)
-                   for a in first for b in second
-                   if abs(a - (b + offset)) < max_difference)
+    Returns sorted [(stamp1, stamp2)].
+
+    Candidates come from a sorted-window sweep instead of the
+    reference's full N x M cross product: a real freiburg
+    groundtruth.txt logs at ~100 Hz (tens of thousands of stamps), and
+    the cross product would materialize 10^8+ Python tuples. Within the
+    window the candidate SET (and therefore the greedy result) is
+    identical."""
+    a_keys = np.asarray(sorted(first), np.float64)
+    b_keys = np.asarray(sorted(second), np.float64)
+    shifted = b_keys + offset
+    lo = np.searchsorted(shifted, a_keys - max_difference, side="left")
+    hi = np.searchsorted(shifted, a_keys + max_difference, side="right")
+    cands = []
+    for i, a in enumerate(a_keys):
+        for j in range(lo[i], hi[i]):
+            d = abs(a - shifted[j])
+            if d < max_difference:
+                cands.append((d, float(a), float(b_keys[j])))
+    cands.sort()
     used1, used2, matches = set(), set(), []
     for _, a, b in cands:
         if a not in used1 and b not in used2:

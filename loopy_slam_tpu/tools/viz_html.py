@@ -70,8 +70,16 @@ def export_html(output_dir: str, out_path: str = None,
     traj_before = None
     if befores:
         bk = load_checkpoint(befores[-1])
-        traj_before = np.asarray(bk["estimate_c2w_list"][:n, :3, 3],
-                                 np.float32)
+        tb = np.asarray(bk["estimate_c2w_list"][:n], np.float32)
+        # the snapshot's trajectory array is preallocated zeros past the
+        # PGO event's frame — drawing those rows would clump points at
+        # the origin. Keep only the filled prefix, padded with the
+        # final trajectory so both buffers stay n frames long (the JS
+        # draws a single fixed-length trajectory).
+        filled = np.abs(tb).reshape(len(tb), -1).sum(1) > 0
+        n_valid = int(filled.argmin()) if not filled.all() else len(tb)
+        traj_before = est[:, :3, 3].copy()
+        traj_before[:n_valid] = tb[:n_valid, :3, 3]
 
     data = {
         "pts": _pack(pts, np.float32),

@@ -106,8 +106,10 @@ def test_health_streak_escape_reseeds_ema(cfg):
 
 
 def test_health_streak_no_escape_on_support_collapse(cfg):
-    """Support-collapse rejects (mask support < 5% of rays) never escape:
-    that optimum is unconstrained noise, not a shifted world."""
+    """Support-collapse rejects (mask support < 5% of rays) never escape
+    AND never advance the streak: that optimum is unconstrained noise,
+    not a shifted world — and N-1 collapse frames followed by one
+    photometrically-wrong convergence must NOT fire the hatch."""
     from loopy_slam_tpu.mapping.tracker import _apply_health_gate
 
     opts = _health_opts(cfg, health_gate=4.0, health_freeze=1.5,
@@ -121,7 +123,16 @@ def test_health_streak_no_escape_on_support_collapse(cfg):
             cam_init, cam_best, opts)
         h = np.asarray(health)
         np.testing.assert_allclose(np.asarray(out), np.asarray(cam_init))
-        assert h[1] == i + 1 and h[2] == i + 1  # rejects keep accumulating
+        assert h[1] == i + 1  # rejects keep accumulating
+        assert h[2] == 0      # ...but the loss-reject streak does not
+    # a loss-reject right after the collapse run starts the streak at 1
+    # and (health_streak=2) must NOT escape yet: pose pinned, EMA frozen
+    out, health = _apply_health_gate(
+        health, jnp.asarray(10.0 * 64.0), jnp.asarray(64.0),
+        cam_init, cam_best, opts)
+    h = np.asarray(health)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cam_init))
+    assert h[0] == 1.0 and h[2] == 1
 
 
 def test_health_vector_backward_compat(cfg):
