@@ -481,6 +481,16 @@ class LoopySLAM:
                           else np.asarray(depth)),
                 depth_limit=t["depth_limit"], rng=self.nprng)
             if flat.size >= 16:
+                # FIXED pool length: the survivor count of the gradient/
+                # depth filters varies per frame, and a varying shape
+                # would recompile the track program EVERY frame (measured
+                # on the TUM run: 39 s/frame, all of it compiles). The
+                # program samples opts.pixels uniformly from the pool
+                # anyway, so resampling the pool to a constant length
+                # with replacement preserves the sampling distribution.
+                pool_n = 15 * t["pixels"]
+                if flat.size != pool_n:
+                    flat = self.nprng.choice(flat, pool_n, replace=True)
                 sel_i = jnp.asarray(flat % self.W, jnp.int32)
                 sel_j = jnp.asarray(flat // self.W, jnp.int32)
                 use_selected = True
