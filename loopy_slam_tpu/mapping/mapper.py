@@ -289,12 +289,13 @@ class _NeighborPool(NamedTuple):
 
 def _build_pool(map_pos, grid, kf_color, kf_depth, kf_c2w, kf_rq, key,
                 opts: MapperOptions, ropts: RenderOptions, P: int,
-                knn_chunk: int = 32768) -> _NeighborPool:
+                knn_chunk: int = 16384) -> _NeighborPool:
     """Sample the ray pool and run the k-NN once over all its samples.
 
     The query is chunked with lax.map so the (Q, 27*M*4) gathered-candidate
     intermediate stays bounded (a full 400k-sample pool would materialize
-    ~2.7 GB at once)."""
+    ~2.7 GB at once at the configured M — and 4x that when build_adaptive
+    has escalated the row capacity on a dense scene, hence 16k chunks)."""
     from ..ops import knn
     from ..ops.sampling import surface_z_vals
 

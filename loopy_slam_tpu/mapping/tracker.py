@@ -209,8 +209,12 @@ def _build_track_cache(cam7, map_pos, grid, feats, gt_color, gt_depth, key,
            ).reshape(-1, 3)
     rq_s = (ropts.radius_query if rq is None
             else jnp.repeat(rq, S, axis=0))
-    D, I, nn = knn.query(grid, map_pos, pts, ropts.nn_num, rq_s,
-                         ropts.table_size, ropts.max_per_cell)
+    # chunked: the pool is pixels*pool_factor*S queries (100k at TUM
+    # settings); unchunked, the stencil-row gather temp scales as
+    # Q*27*M*4 lanes and compile-OOMs once the grid's row capacity has
+    # adaptively escalated (knn.query_chunked docstring)
+    D, I, nn = knn.query_chunked(grid, map_pos, pts, ropts.nn_num, rq_s,
+                                 ropts.table_size, ropts.max_per_cell)
     both = gather_featpos(feats, map_pos, I)
     k = ropts.nn_num
     return {"i": i, "j": j, "d": d, "c": c, "inside": inside, "z": z,

@@ -416,6 +416,35 @@ def query(grid: HashGrid, points: jnp.ndarray, queries: jnp.ndarray,
     return D, I, neighbor_num
 
 
+def query_chunked(grid: HashGrid, points, queries, k: int, radius,
+                  table_size: int, max_per_cell: int = 16,
+                  chunk: int = 16384):
+    """query() over fixed-size chunks via lax.map, bounding the
+    stencil-row gather temp to chunk*27*M*4 lanes. One UNCHUNKED query
+    over a 100k-sample pool against a grid whose row capacity had
+    adaptively escalated to M=256 materializes a 10.3 GB gather — the
+    compile-time HBM OOM that killed the TUM run at its 10th segment
+    boundary. Returns (D, I, neighbor_num) exactly like query()."""
+    Q = queries.shape[0]
+    if Q <= chunk:
+        return query(grid, points, queries, k, radius, table_size,
+                     max_per_cell)
+    r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (Q,))
+    n_ch = -(-Q // chunk)
+    pad = n_ch * chunk - Q
+    q_p = jnp.pad(queries, ((0, pad), (0, 0)))
+    r_p = jnp.pad(r, (0, pad))
+
+    def one(args):
+        q, rr = args
+        return query(grid, points, q, k, rr, table_size, max_per_cell)
+
+    D, I, nn = jax.lax.map(one, (q_p.reshape(n_ch, chunk, 3),
+                                 r_p.reshape(n_ch, chunk)))
+    return (D.reshape(-1, k)[:Q], I.reshape(-1, k)[:Q],
+            nn.reshape(-1)[:Q])
+
+
 def brute_force_knn(points, valid, queries, k):
     """Reference oracle: exact k-NN by full pairwise distances (test use)."""
     d2 = jnp.sum((queries[:, None, :] - points[None, :, :]) ** 2, axis=-1)

@@ -675,15 +675,16 @@ class LoopySLAM:
         pos = jnp.zeros((new_cap, 3), jnp.float32).at[:cap].set(s.pos)
         feat = jnp.zeros((new_cap, s.feat.shape[1]),
                          jnp.float32).at[:cap].set(s.feat)
-        # rebuild at the CURRENT grid's table/row capacity (build_adaptive
-        # may have grown either mid-run; rebuilding at the configured
-        # sizes would silently re-drop the points that escalation had
-        # recovered), then escalate further if this rebuild itself drops
+        # adaptive from the CONFIGURED sizes: escalation re-finds the
+        # minimal table/row capacity with zero drops for the current
+        # density (the plain knn.build here silently re-dropped points a
+        # previous escalation had recovered; starting from the grown
+        # sizes instead would pin a density spike's bloated row width —
+        # and query cost scales with it — for the rest of the run)
         grid = knn.build_adaptive(pos, jnp.arange(new_cap) < s.count,
                                   self.mopts_map.cell_size,
-                                  s.grid.cell_data.shape[0] - 1,
-                                  max(self.mopts_map.max_per_cell,
-                                      s.grid.cell_data.shape[1]))
+                                  self.mopts_map.table_size,
+                                  self.mopts_map.max_per_cell)
         self.map_state = s._replace(pos=pos, feat=feat, grid=grid)
         if self.verbose:
             print(f"grew point buffer {cap} -> {new_cap}")
